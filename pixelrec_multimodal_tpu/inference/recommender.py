@@ -1,0 +1,137 @@
+# pixelrec_multimodal_tpu/inference/recommender.py
+"""User-facing recommendation interface over the catalog scorer.
+
+Parity target: /root/reference/src/inference/recommender.py:20-294
+(Recommender.get_recommendations / get_item_score with unknown-user handling,
+candidate validation, filter-seen). Single-user calls keep the reference API;
+the batched variants (get_recommendations_batch / score_candidates_batch) are
+the TPU-native path used by the evaluators — one compiled call covers whole
+user blocks instead of the reference's per-user python loop.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .scorer import CatalogScorer
+from ..ops.topk import NEG_INF
+
+
+class Recommender:
+    """Wraps a trained model + dataset for top-K generation and pair scoring."""
+
+    def __init__(self, model, variables: Dict, dataset,
+                 item_chunk: int = 8192, user_chunk: int = 64, mesh=None):
+        self.model = model
+        self.dataset = dataset
+        self.scorer = CatalogScorer(model, variables, dataset.feature_store,
+                                    item_chunk=item_chunk,
+                                    user_chunk=user_chunk, mesh=mesh)
+        self._user_classes = set(
+            map(str, getattr(dataset.user_encoder, 'classes_', [])))
+        self._item_classes = set(
+            map(str, getattr(dataset.item_encoder, 'classes_', [])))
+        # CSR history for vectorized filter-seen masks.
+        self._hist_indptr, self._hist_items = dataset.user_history_matrix()
+
+    # ------------------------------------------------------------ single-user
+    def get_recommendations(self, user_id: str, top_k: int = 10,
+                            filter_seen: bool = True,
+                            candidates: Optional[List[str]] = None
+                            ) -> List[Tuple[str, float]]:
+        """Top-K (item_id, score) for one user; [] for unknown users
+        (reference recommender.py:52-110 semantics)."""
+        user_id = str(user_id)
+        if user_id not in self._user_classes:
+            print(f"Warning: User '{user_id}' not found in the trained "
+                  "user encoder.")
+            return []
+        uidx = int(self.dataset.user_encoder.transform([user_id])[0])
+
+        if candidates is not None:
+            valid = [str(c) for c in candidates if str(c) in self._item_classes]
+            if not valid:
+                return []
+            cand_idx = self.dataset.item_encoder.transform(valid)
+            if filter_seen:
+                seen = self._seen_set(uidx)
+                keep = [j for j, ci in enumerate(cand_idx) if ci not in seen]
+                if not keep:
+                    return []
+                valid = [valid[j] for j in keep]
+                cand_idx = cand_idx[keep]
+            scores = self.scorer.score_candidates(
+                np.asarray([uidx]), np.asarray(cand_idx)[None, :])[0]
+            order = np.argsort(-scores)[:top_k]
+            return [(valid[j], float(scores[j])) for j in order]
+
+        seen_mask = None
+        if filter_seen:
+            seen_mask = self._seen_mask(np.asarray([uidx]))
+        values, idx = self.scorer.top_k(np.asarray([uidx]), top_k,
+                                        seen_mask=seen_mask)
+        out = []
+        for v, i in zip(values[0], idx[0]):
+            if i < 0:
+                continue
+            out.append((str(self.dataset.item_encoder.classes_[i]), float(v)))
+        return out
+
+    def get_item_score(self, user_id: str, item_id: str) -> float:
+        """Predicted score for one pair; 0.0 for unknown user/item
+        (reference recommender.py:112-141)."""
+        user_id, item_id = str(user_id), str(item_id)
+        if user_id not in self._user_classes or item_id not in self._item_classes:
+            return 0.0
+        uidx = int(self.dataset.user_encoder.transform([user_id])[0])
+        iidx = int(self.dataset.item_encoder.transform([item_id])[0])
+        s = self.scorer.score_candidates(np.asarray([uidx]),
+                                         np.asarray([[iidx]]))
+        return float(s[0, 0])
+
+    # ---------------------------------------------------------------- batched
+    def get_recommendations_batch(self, user_ids: List[str], top_k: int = 10,
+                                  filter_seen: bool = True
+                                  ) -> Dict[str, List[Tuple[str, float]]]:
+        """Top-K for many users in one device pass."""
+        known = [u for u in map(str, user_ids) if u in self._user_classes]
+        out: Dict[str, List[Tuple[str, float]]] = {
+            str(u): [] for u in user_ids}
+        if not known:
+            return out
+        uidx = self.dataset.user_encoder.transform(known).astype(np.int32)
+        seen_mask = self._seen_mask(uidx) if filter_seen else None
+        values, idx = self.scorer.top_k(uidx, top_k, seen_mask=seen_mask)
+        item_classes = np.asarray(self.dataset.item_encoder.classes_).astype(str)
+        for u, vs, ids in zip(known, values, idx):
+            out[u] = [(str(item_classes[i]), float(v))
+                      for v, i in zip(vs, ids) if i >= 0]
+        return out
+
+    def score_candidates_batch(self, user_indices: np.ndarray,
+                               candidate_idx: np.ndarray,
+                               candidate_mask: Optional[np.ndarray] = None
+                               ) -> np.ndarray:
+        """[B] users x [B, C] candidate positions -> [B, C] scores (evaluator
+        fast path; indices are encoder positions, not raw ids)."""
+        return self.scorer.score_candidates(user_indices, candidate_idx,
+                                            candidate_mask)
+
+    # ----------------------------------------------------------------- history
+    def _seen_set(self, uidx: int) -> set:
+        lo, hi = self._hist_indptr[uidx], self._hist_indptr[uidx + 1]
+        return set(self._hist_items[lo:hi].tolist())
+
+    def _seen_mask(self, user_indices: np.ndarray) -> np.ndarray:
+        """[B, n_items] bool mask of items each user has interacted with."""
+        B = len(user_indices)
+        mask = np.zeros((B, self.dataset.n_items), dtype=bool)
+        for row, uidx in enumerate(user_indices):
+            lo, hi = self._hist_indptr[uidx], self._hist_indptr[uidx + 1]
+            mask[row, self._hist_items[lo:hi]] = True
+        return mask
+
+    def _get_user_interactions(self, user_id: str) -> set:
+        """Original-id history set (reference recommender.py:271-280)."""
+        return self.dataset.get_user_history(str(user_id))

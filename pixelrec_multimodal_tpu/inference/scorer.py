@@ -1,0 +1,195 @@
+# pixelrec_multimodal_tpu/inference/scorer.py
+"""Full-catalog pair scoring on device.
+
+TPU-native replacement for the reference's inference hot loop
+(/root/reference/src/inference/recommender.py:96-106, 144-236: python batches
+of 256 with per-item feature fetch + host sort). Design:
+
+  * The item-side tower (item/tag embeddings + modality projections) is
+    computed ONCE for the whole padded catalog -> ``item_feats [N_pad, M, D]``
+    resident in HBM.
+  * Scoring a block of users against an item chunk is one compiled broadcast +
+    prediction-MLP call — all MXU matmuls over [users*chunk] rows.
+  * Exact catalog top-K runs as a lax.scan over item chunks with a streaming
+    top-k merge (ops/topk.py) — the [users, items] matrix is never
+    materialized, HBM traffic stays at O(N*M*D) per user block.
+  * Per-user candidate-set scoring (retrieval eval) is one gather + one call
+    for ALL users at once, replacing the reference's per-user process loop
+    (tasks.py:529-561).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk import NEG_INF, init_topk, merge_topk
+from ..parallel.mesh import pad_to_multiple
+
+
+class CatalogScorer:
+    """Scores users against the full catalog with a fixed trained model."""
+
+    def __init__(self, model, variables: Dict, feature_store,
+                 item_chunk: int = 8192, user_chunk: int = 64,
+                 mesh=None):
+        self.model = model
+        self.variables = variables
+        self.store = feature_store
+        self.mesh = mesh
+        self.n_items = feature_store.n_items
+        self.item_chunk = min(item_chunk, pad_to_multiple(self.n_items, 128))
+        self.n_pad = pad_to_multiple(self.n_items, self.item_chunk)
+        self.user_chunk = user_chunk
+
+        self._item_feats = self._build_item_tower()  # [n_pad, M, D]
+        self._pad_mask = np.zeros(self.n_pad, dtype=bool)
+        self._pad_mask[self.n_items:] = True  # True = invalid (padding)
+
+    # ------------------------------------------------------------- item tower
+    def _build_item_tower(self) -> jnp.ndarray:
+        t = self.store.tables
+        n, n_pad = self.n_items, self.n_pad
+
+        def padded(arr, fill=0):
+            out = np.zeros((n_pad,) + arr.shape[1:], arr.dtype)
+            out[:n] = arr
+            return jnp.asarray(out)
+
+        item_idx = jnp.asarray(
+            np.concatenate([np.arange(n), np.zeros(n_pad - n)]).astype(np.int32))
+        tag_idx = padded(t['tag_idx'].astype(np.int32))
+        kw = {}
+        if self.model.vision_feature_dim and 'vision_emb' in t:
+            kw['vision_features'] = padded(t['vision_emb'].astype(np.float32))
+        if self.model.language_feature_dim and 'language_emb' in t:
+            kw['language_features'] = padded(t['language_emb'].astype(np.float32))
+        if self.model.num_numerical_features > 0 and 'numerical' in t:
+            kw['numerical_features'] = padded(t['numerical'].astype(np.float32))
+
+        tower = jax.jit(partial(self.model.apply, method='item_tower'))
+        return tower(self.variables, item_idx, tag_idx, **kw)
+
+    # ---------------------------------------------------------- score kernels
+    @partial(jax.jit, static_argnums=0)
+    def _score_block(self, variables, item_block: jnp.ndarray,
+                     user_idx: jnp.ndarray) -> jnp.ndarray:
+        """[C, M, D] items x [B] users -> [B, C] scores."""
+        B, C = user_idx.shape[0], item_block.shape[0]
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        ue = jnp.broadcast_to(user_emb[:, None, :], (B, C, user_emb.shape[-1]))
+        it = jnp.broadcast_to(item_block[None], (B,) + item_block.shape)
+        flat_scores = self.model.apply(
+            variables,
+            ue.reshape(B * C, -1),
+            it.reshape(B * C, *item_block.shape[1:]),
+            method='score_from_towers')
+        return flat_scores.reshape(B, C)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _topk_scan(self, variables, item_feats: jnp.ndarray,
+                   user_idx: jnp.ndarray, invalid_mask: jnp.ndarray, k: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming exact top-k over the padded catalog.
+
+        invalid_mask: [B, n_pad] bool — True entries (seen items, padding)
+        are excluded.
+        """
+        B = user_idx.shape[0]
+        C = self.item_chunk
+        num_chunks = self.n_pad // C
+        chunks = item_feats.reshape((num_chunks, C) + item_feats.shape[1:])
+        masks = invalid_mask.reshape(B, num_chunks, C).transpose(1, 0, 2)
+        offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
+
+        def body(carry, xs):
+            chunk, mask, off = xs
+            s = self._score_block(variables, chunk, user_idx)
+            s = jnp.where(mask, NEG_INF, s)
+            idx = off + jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+            return merge_topk(*carry, s, idx, k), None
+
+        carry, _ = jax.lax.scan(body, init_topk(B, k), (chunks, masks, offsets))
+        return carry
+
+    @partial(jax.jit, static_argnums=0)
+    def _score_candidates(self, variables, item_feats: jnp.ndarray,
+                          user_idx: jnp.ndarray,
+                          cand_idx: jnp.ndarray) -> jnp.ndarray:
+        """[B] users x [B, C] per-user candidate ids -> [B, C] scores."""
+        B, C = cand_idx.shape
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        cand_feats = jnp.take(item_feats, cand_idx, axis=0)  # [B,C,M,D]
+        ue = jnp.broadcast_to(user_emb[:, None, :], (B, C, user_emb.shape[-1]))
+        flat = self.model.apply(
+            variables,
+            ue.reshape(B * C, -1),
+            cand_feats.reshape(B * C, *cand_feats.shape[2:]),
+            method='score_from_towers')
+        return flat.reshape(B, C)
+
+    # --------------------------------------------------------------- user API
+    def top_k(self, user_indices: np.ndarray, k: int,
+              seen_mask: Optional[np.ndarray] = None
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k items for each user.
+
+        seen_mask: optional [B, n_items] bool (True = exclude). Returns
+        (scores [B, k], item positions [B, k]; -1 where fewer than k valid).
+        """
+        user_indices = np.asarray(user_indices, np.int32)
+        out_v, out_i = [], []
+        for s in range(0, len(user_indices), self.user_chunk):
+            users = user_indices[s:s + self.user_chunk]
+            B = len(users)
+            invalid = np.broadcast_to(self._pad_mask, (B, self.n_pad)).copy()
+            if seen_mask is not None:
+                invalid[:, :self.n_items] |= seen_mask[s:s + self.user_chunk]
+            v, i = self._topk_scan(self.variables, self._item_feats,
+                                   jnp.asarray(users), jnp.asarray(invalid), k)
+            v, i = np.array(v), np.array(i)  # copies: jax buffers are read-only
+            i[v <= float(NEG_INF) / 2] = -1
+            out_v.append(v)
+            out_i.append(i)
+        return np.concatenate(out_v), np.concatenate(out_i)
+
+    def score_candidates(self, user_indices: np.ndarray,
+                         candidate_idx: np.ndarray,
+                         candidate_mask: Optional[np.ndarray] = None
+                         ) -> np.ndarray:
+        """Scores for per-user candidate lists ([B, C] padded with 0s).
+
+        candidate_mask: [B, C] bool, True = valid entry. Invalid entries
+        score -inf.
+        """
+        user_indices = np.asarray(user_indices, np.int32)
+        candidate_idx = np.asarray(candidate_idx, np.int32)
+        out = []
+        for s in range(0, len(user_indices), self.user_chunk):
+            users = jnp.asarray(user_indices[s:s + self.user_chunk])
+            cands = jnp.asarray(candidate_idx[s:s + self.user_chunk])
+            v = np.asarray(self._score_candidates(
+                self.variables, self._item_feats, users, cands))
+            if candidate_mask is not None:
+                v = np.where(candidate_mask[s:s + self.user_chunk], v,
+                             float(NEG_INF))
+            out.append(v)
+        return np.concatenate(out)
+
+    def score_full(self, user_indices: np.ndarray) -> np.ndarray:
+        """Dense [B, n_items] score matrix (ranking eval / analysis)."""
+        user_indices = np.asarray(user_indices, np.int32)
+        rows = []
+        num_chunks = self.n_pad // self.item_chunk
+        chunks = self._item_feats.reshape(
+            (num_chunks, self.item_chunk) + self._item_feats.shape[1:])
+        for s in range(0, len(user_indices), self.user_chunk):
+            users = jnp.asarray(user_indices[s:s + self.user_chunk])
+            parts = [np.asarray(self._score_block(self.variables, chunks[c], users))
+                     for c in range(num_chunks)]
+            rows.append(np.concatenate(parts, axis=1)[:, :self.n_items])
+        return np.concatenate(rows)

@@ -1,0 +1,12 @@
+"""Mesh/sharding layer — the framework's entire 'distributed backend'."""
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    item_table_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    score_matrix_sharding,
+    shard_batch,
+)

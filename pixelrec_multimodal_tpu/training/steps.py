@@ -1,0 +1,193 @@
+# pixelrec_multimodal_tpu/training/steps.py
+"""Compiled train/eval steps.
+
+The whole of the reference's per-batch work — feature fetch, forward, loss,
+backward, clip, update, metric accumulation
+(/root/reference/src/training/trainer.py:326-525) — compiles here into single
+XLA programs. Item-side features are gathered from device-resident tables by
+item index inside the graph; classification metrics accumulate as in-graph
+sums (a single small transfer per step instead of per-batch ``.item()``
+syncs). The non-finite-loss skip (reference trainer.py:394-412) is a
+``lax.cond`` on the loss value, so bad batches leave optimizer state and
+batch stats untouched without host round-trips.
+
+Under a sharded batch (parallel/mesh.py), jit partitions these steps over the
+mesh: gradient psums and metric reductions are emitted by XLA from the
+sharding annotations.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state: params + BN stats + optimizer state."""
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: Any
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(step=jnp.asarray(0), params=params, batch_stats=batch_stats,
+                   opt_state=tx.init(params), apply_fn=apply_fn, tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt_state)
+
+
+def gather_feature_kwargs(model, tables: Dict[str, jnp.ndarray],
+                          batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Item-index gathers from the feature tables -> model kwargs.
+
+    This is the device-side replacement for the reference's per-sample cache
+    lookup + collate (dataset.py:217-249).
+    """
+    it = batch['item_idx']
+    kw: Dict[str, jnp.ndarray] = {}
+    if model.vision_feature_dim and 'vision_emb' in tables:
+        kw['vision_features'] = jnp.take(tables['vision_emb'], it, axis=0)
+    if model.language_feature_dim and 'language_emb' in tables:
+        kw['language_features'] = jnp.take(tables['language_emb'], it, axis=0)
+    if model.num_numerical_features > 0 and 'numerical' in tables:
+        kw['numerical_features'] = jnp.take(tables['numerical'], it, axis=0)
+    if model.contrastive_active and 'clip_text_emb' in tables:
+        kw['clip_text_features'] = jnp.take(tables['clip_text_emb'], it, axis=0)
+    return kw
+
+
+def _classification_sums(preds: jnp.ndarray, labels: jnp.ndarray,
+                         weight: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Weighted tp/fp/fn/correct/count sums at threshold 0.5
+    (reference trainer.py:405-410)."""
+    hard = (preds > 0.5).astype(jnp.float32)
+    pos = labels > 0.5
+    return {
+        'correct': jnp.sum(weight * (hard == labels)),
+        'tp': jnp.sum(weight * ((hard == 1) & pos)),
+        'fp': jnp.sum(weight * ((hard == 1) & ~pos)),
+        'fn': jnp.sum(weight * ((hard == 0) & pos)),
+        'count': jnp.sum(weight),
+    }
+
+
+def make_step_fns(model, tables: Dict[str, jnp.ndarray],
+                  bce_weight: float = 1.0,
+                  contrastive_weight: float = 0.1,
+                  use_contrastive: Optional[bool] = None,
+                  extra_features_fn: Optional[Callable] = None):
+    """Build jitted (train_step, eval_step) closures over model + tables.
+
+    ``extra_features_fn(batch) -> kwargs`` lets end-to-end (unfrozen encoder)
+    training inject pixel/token-derived features; default is table gathers.
+    """
+    from ..models.losses import recommender_loss
+
+    contrastive = (model.contrastive_active if use_contrastive is None
+                   else use_contrastive and model.contrastive_active)
+
+    def forward(params, batch_stats, batch, rng, train: bool):
+        kw = gather_feature_kwargs(model, tables, batch)
+        if extra_features_fn is not None:
+            kw.update(extra_features_fn(batch))
+        variables = {'params': params}
+        if batch_stats is not None:
+            variables['batch_stats'] = batch_stats
+        mutable = ['batch_stats'] if (train and batch_stats is not None) else False
+        rngs = {'dropout': rng} if train else None
+        out = model.apply(
+            variables, batch['user_idx'], batch['item_idx'], batch['tag_idx'],
+            train=train, return_embeddings=contrastive, rngs=rngs,
+            mutable=mutable, **kw)
+        new_stats = None
+        if mutable:
+            out, mutated = out
+            new_stats = mutated.get('batch_stats')
+        if contrastive:
+            scores, vis_c, txt_c, _ = out
+        else:
+            scores, vis_c, txt_c = out, None, None
+        temp = params['temperature'] if contrastive and 'temperature' in params \
+            else model.contrastive_temperature
+        loss = recommender_loss(
+            scores.squeeze(-1), batch['label'], vis_c, txt_c, temp,
+            use_contrastive=contrastive, contrastive_weight=contrastive_weight,
+            bce_weight=bce_weight, weight=batch.get('weight'))
+        return scores, loss, new_stats
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            scores, loss, new_stats = forward(params, state.batch_stats, batch,
+                                              rng, train=True)
+            return loss['total'], (scores, loss, new_stats)
+
+        grads, (scores, loss, new_stats) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+
+        finite = jnp.isfinite(loss['total'])
+
+        def do_update(_):
+            s = state.apply_gradients(grads)
+            if new_stats is not None:
+                s = s.replace(batch_stats=new_stats)
+            return s
+
+        new_state = jax.lax.cond(finite, do_update, lambda _: state, None)
+        weight = batch.get('weight', jnp.ones_like(batch['label']))
+        metrics = {
+            'total_loss': loss['total'], 'bce_loss': loss['bce'],
+            'contrastive_loss': loss['contrastive'],
+            **_classification_sums(scores.squeeze(-1), batch['label'], weight),
+        }
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        scores, loss, _ = forward(state.params, state.batch_stats, batch,
+                                  rng=None, train=False)
+        weight = batch.get('weight', jnp.ones_like(batch['label']))
+        return {
+            'total_loss': loss['total'], 'bce_loss': loss['bce'],
+            'contrastive_loss': loss['contrastive'],
+            **_classification_sums(scores.squeeze(-1), batch['label'], weight),
+        }
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+
+def init_train_state(model, tx, rng, batch_size: int = 2,
+                     tables: Optional[Dict[str, jnp.ndarray]] = None
+                     ) -> TrainState:
+    """Initialize parameters with dummy static-shaped inputs."""
+    dummy_idx = jnp.zeros((batch_size,), jnp.int32)
+    kw = {}
+    if model.vision_feature_dim:
+        kw['vision_features'] = jnp.zeros((batch_size, model.vision_feature_dim),
+                                          jnp.float32)
+    if model.language_feature_dim:
+        kw['language_features'] = jnp.zeros(
+            (batch_size, model.language_feature_dim), jnp.float32)
+    if model.num_numerical_features > 0:
+        kw['numerical_features'] = jnp.zeros(
+            (batch_size, model.num_numerical_features), jnp.float32)
+    if model.contrastive_active:
+        kw['clip_text_features'] = jnp.zeros(
+            (batch_size, model.clip_text_feature_dim), jnp.float32)
+    variables = model.init({'params': rng}, dummy_idx, dummy_idx, dummy_idx,
+                           train=False, return_embeddings=model.contrastive_active,
+                           **kw)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats'),
+        tx=tx)
