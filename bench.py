@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Headline benchmark: scored user-item pairs/sec at full-catalog top-K.
+
+This is BASELINE.json's metric — the reference's inference hot loop
+(/root/reference/src/inference/recommender.py:96-106: python batches of 256,
+per-item feature collate, host sort) vs this framework's streaming on-device
+top-K scorer (pixelrec_multimodal_tpu/inference/scorer.py).
+
+Setup: flagship multimodal scorer (ResNet-50-dim vision tower 2048 + SBERT-dim
+language tower 384 + 7 numerical features, embedding 64, concat fusion, MLP
+[512,256,128] + BatchNorm + sigmoid) over a synthetic catalog with precomputed
+encoder embeddings (the frozen-encoder production path on both sides).
+
+The torch reference-style baseline is measured once on this machine (CPU,
+mirroring the reference's single-process scoring loop) and cached in
+``.bench_baseline.json``.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_ITEMS = 65536
+N_USERS = 256
+TOP_K = 50
+EMB = 64
+VISION_DIM = 2048
+LANG_DIM = 384
+NUM_FEAT = 7
+HIDDEN = (512, 256, 128)
+N_TAGS = 64
+BASELINE_CACHE = Path(__file__).parent / '.bench_baseline.json'
+BASELINE_USERS = 2  # users to measure for the torch reference-style loop
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------- ours
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+    from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+    from pixelrec_multimodal_tpu.models.multimodal import MultimodalRecommender
+
+    log(f"devices: {jax.devices()}")
+    model = MultimodalRecommender(
+        n_users=4096, n_items=N_ITEMS, n_tags=N_TAGS,
+        num_numerical_features=NUM_FEAT, embedding_dim=EMB,
+        vision_feature_dim=VISION_DIM, language_feature_dim=LANG_DIM,
+        use_contrastive=False, fusion_hidden_dims=HIDDEN,
+        fusion_type='concatenate', use_batch_norm=True, dropout_rate=0.0,
+        dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+    store.tables['tag_idx'] = rng.integers(0, N_TAGS, N_ITEMS).astype(np.int32)
+    store.tables['numerical'] = rng.standard_normal(
+        (N_ITEMS, NUM_FEAT)).astype(np.float32)
+    store.tables['vision_emb'] = rng.standard_normal(
+        (N_ITEMS, VISION_DIM)).astype(np.float32)
+    store.tables['language_emb'] = rng.standard_normal(
+        (N_ITEMS, LANG_DIM)).astype(np.float32)
+
+    key = jax.random.PRNGKey(0)
+    B = 8
+    variables = model.init(
+        {'params': key}, jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        vision_features=jnp.zeros((B, VISION_DIM), jnp.float32),
+        language_features=jnp.zeros((B, LANG_DIM), jnp.float32),
+        numerical_features=jnp.zeros((B, NUM_FEAT), jnp.float32),
+        train=False)
+
+    scorer = CatalogScorer(model, variables, store,
+                           item_chunk=8192, user_chunk=128)
+    users = rng.integers(0, 4096, N_USERS).astype(np.int32)
+
+    log("warmup/compile...")
+    t0 = time.time()
+    scorer.top_k(users[:scorer.user_chunk], TOP_K)
+    log(f"compile+first batch: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        v, i = scorer.top_k(users, TOP_K)
+    elapsed = time.time() - t0
+    pairs = N_USERS * N_ITEMS * reps
+    pps = pairs / elapsed
+    log(f"tpu: {pairs:.3g} pairs in {elapsed:.2f}s -> {pps:,.0f} pairs/s")
+    return pps
+
+
+# ----------------------------------------------------------- torch baseline
+def bench_torch_reference_style() -> float:
+    """The reference's scoring pattern: per-user loop over batches of 256
+    with per-item feature assembly from a python dict cache, forward, host
+    sort (recommender.py:96-236)."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class RefModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.user_emb = nn.Embedding(4096, EMB)
+            self.item_emb = nn.Embedding(N_ITEMS, EMB)
+            self.tag_emb = nn.Embedding(N_TAGS, EMB)
+            self.vproj = nn.Sequential(nn.Linear(VISION_DIM, EMB), nn.ReLU())
+            self.lproj = nn.Sequential(nn.Linear(LANG_DIM, EMB), nn.ReLU())
+            self.nproj = nn.Sequential(nn.Linear(NUM_FEAT, EMB), nn.ReLU())
+            dims, layers = 6 * EMB, []
+            for h in HIDDEN:
+                layers += [nn.Linear(dims, h), nn.ReLU(), nn.BatchNorm1d(h)]
+                dims = h
+            layers += [nn.Linear(dims, 1), nn.Sigmoid()]
+            self.mlp = nn.Sequential(*layers)
+
+        def forward(self, u, i, t, v, l, n):
+            x = torch.cat([self.user_emb(u), self.item_emb(i), self.tag_emb(t),
+                           self.vproj(v), self.lproj(l), self.nproj(n)], dim=1)
+            return self.mlp(x)
+
+    model = RefModel().eval()
+    rng = np.random.default_rng(0)
+    # Feature cache of per-item tensors, as the reference holds them.
+    feats = {
+        'tag': torch.from_numpy(rng.integers(0, N_TAGS, N_ITEMS)),
+        'vis': torch.from_numpy(
+            rng.standard_normal((N_ITEMS, VISION_DIM)).astype(np.float32)),
+        'lang': torch.from_numpy(
+            rng.standard_normal((N_ITEMS, LANG_DIM)).astype(np.float32)),
+        'num': torch.from_numpy(
+            rng.standard_normal((N_ITEMS, NUM_FEAT)).astype(np.float32)),
+    }
+
+    batch = 256  # reference recommender.py:97
+    t0 = time.time()
+    with torch.no_grad():
+        for u in range(BASELINE_USERS):
+            scores = []
+            for s in range(0, N_ITEMS, batch):
+                idx = torch.arange(s, min(s + batch, N_ITEMS))
+                # Per-item stack (the reference collates feature dicts).
+                v = torch.stack([feats['vis'][j] for j in idx])
+                l = torch.stack([feats['lang'][j] for j in idx])
+                n = torch.stack([feats['num'][j] for j in idx])
+                t = feats['tag'][idx]
+                uu = torch.full((len(idx),), u, dtype=torch.long)
+                out = model(uu, idx, t, v, l, n)
+                scores.extend(zip(idx.tolist(), out.squeeze(-1).tolist()))
+            scores.sort(key=lambda x: x[1], reverse=True)
+            scores = scores[:TOP_K]
+    elapsed = time.time() - t0
+    pps = BASELINE_USERS * N_ITEMS / elapsed
+    log(f"torch reference-style: {BASELINE_USERS} users x {N_ITEMS} items in "
+        f"{elapsed:.1f}s -> {pps:,.0f} pairs/s")
+    return pps
+
+
+def get_baseline() -> float:
+    if BASELINE_CACHE.exists():
+        try:
+            with open(BASELINE_CACHE) as f:
+                cached = json.load(f)
+            if cached.get('config') == [N_ITEMS, EMB, list(HIDDEN)]:
+                return cached['pairs_per_sec']
+        except Exception:
+            pass
+    pps = bench_torch_reference_style()
+    try:
+        with open(BASELINE_CACHE, 'w') as f:
+            json.dump({'pairs_per_sec': pps,
+                       'config': [N_ITEMS, EMB, list(HIDDEN)]}, f)
+    except Exception:
+        pass
+    return pps
+
+
+def main():
+    baseline = get_baseline()
+    ours = bench_tpu()
+    print(json.dumps({
+        'metric': 'full_catalog_topk_scored_pairs_per_sec',
+        'value': round(ours, 1),
+        'unit': 'pairs/sec/chip',
+        'vs_baseline': round(ours / baseline, 2) if baseline > 0 else None,
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

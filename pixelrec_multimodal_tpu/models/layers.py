@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -57,6 +59,7 @@ class AttentionFusionLayer(nn.Module):
     embedding_dim: int
     num_attention_heads: int
     dropout_rate: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, *, train: bool = False
@@ -66,6 +69,7 @@ class AttentionFusionLayer(nn.Module):
             num_heads=self.num_attention_heads,
             dropout_rate=self.dropout_rate,
             deterministic=not train,
+            dtype=self.dtype,
             name='attention')(features, features)
         x = features + nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
         x = nn.LayerNorm(name='norm')(x)
@@ -77,6 +81,7 @@ class GatedFusionLayer(nn.Module):
     embedding_dim: int
     num_modalities: int
     dropout_rate: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, *, train: bool = False
@@ -85,6 +90,7 @@ class GatedFusionLayer(nn.Module):
         b = features.shape[0]
         concat = features.reshape(b, self.num_modalities * self.embedding_dim)
         concat = nn.Dropout(self.dropout_rate, deterministic=not train)(concat)
-        gates = nn.Dense(self.num_modalities, name='gating')(concat)
+        gates = nn.Dense(self.num_modalities, dtype=self.dtype,
+                         name='gating')(concat)
         gates = nn.softmax(gates, axis=-1)
         return jnp.sum(features * gates[:, :, None], axis=1)

@@ -71,15 +71,16 @@ class ProjectionMLP(nn.Module):
     hidden_dim: Optional[int]
     activation: str
     dropout_rate: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         act = activation_fn(self.activation)
         if self.hidden_dim:
-            x = nn.Dense(self.hidden_dim)(x)
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
             x = act(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.out_dim)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
         x = act(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
@@ -93,19 +94,21 @@ class PredictionMLP(nn.Module):
     use_batch_norm: bool
     dropout_rate: float
     final_activation: str
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         act = activation_fn(self.activation)
+        x = x.astype(self.dtype)
         for h in self.hidden_dims:
-            x = nn.Dense(h)(x)
+            x = nn.Dense(h, dtype=self.dtype)(x)
             x = act(x)
             if self.use_batch_norm:
                 # torch BatchNorm1d defaults: momentum 0.1 (flax: 0.9), eps 1e-5.
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(1)(x)
+        x = nn.Dense(1, dtype=jnp.float32)(x.astype(jnp.float32))
         if self.final_activation == 'sigmoid':
             x = nn.sigmoid(x)
         elif self.final_activation == 'tanh':
@@ -141,6 +144,9 @@ class MultimodalRecommender(nn.Module):
     fusion_type: str = 'concatenate'
     vision_model_name: Optional[str] = None  # bookkeeping (checkpoint metadata)
     language_model_name: Optional[str] = None
+    # Computation dtype for projections/fusion/MLP matmuls (params stay f32);
+    # bfloat16 keeps the MXU fed on TPU. Final scores are always f32.
+    dtype: Any = jnp.float32
 
     @property
     def contrastive_active(self) -> bool:
@@ -160,24 +166,24 @@ class MultimodalRecommender(nn.Module):
     def setup(self):
         init = embedding_init(self.init_method)
         self.user_embedding = nn.Embed(self.n_users, self.embedding_dim,
-                                       embedding_init=init)
+                                       embedding_init=init, dtype=self.dtype)
         self.item_embedding = nn.Embed(self.n_items, self.embedding_dim,
-                                       embedding_init=init)
+                                       embedding_init=init, dtype=self.dtype)
         self.tag_embedding = nn.Embed(self.n_tags, self.embedding_dim,
-                                      embedding_init=init)
+                                      embedding_init=init, dtype=self.dtype)
 
         if self.vision_feature_dim:
             self.vision_projection = ProjectionMLP(
                 self.embedding_dim, self.projection_hidden_dim,
-                self.fusion_activation, self.dropout_rate)
+                self.fusion_activation, self.dropout_rate, dtype=self.dtype)
         if self.language_feature_dim:
             self.language_projection = ProjectionMLP(
                 self.embedding_dim, self.projection_hidden_dim,
-                self.fusion_activation, self.dropout_rate)
+                self.fusion_activation, self.dropout_rate, dtype=self.dtype)
         if self.num_numerical_features > 0:
             self.numerical_projection = ProjectionMLP(
                 self.embedding_dim, self.projection_hidden_dim,
-                self.fusion_activation, self.dropout_rate)
+                self.fusion_activation, self.dropout_rate, dtype=self.dtype)
 
         if self.contrastive_active:
             self.vision_contrastive_projection = nn.Dense(self.embedding_dim)
@@ -190,12 +196,12 @@ class MultimodalRecommender(nn.Module):
             self.fusion_layer = AttentionFusionLayer(
                 embedding_dim=self.embedding_dim,
                 num_attention_heads=self.num_attention_heads,
-                dropout_rate=self.attention_dropout)
+                dropout_rate=self.attention_dropout, dtype=self.dtype)
         elif self.fusion_type == 'gated':
             self.fusion_layer = GatedFusionLayer(
                 embedding_dim=self.embedding_dim,
                 num_modalities=self.num_modalities,
-                dropout_rate=self.dropout_rate)
+                dropout_rate=self.dropout_rate, dtype=self.dtype)
         elif self.fusion_type != 'concatenate':
             raise ValueError(f"Unknown fusion type: '{self.fusion_type}'")
 
@@ -204,7 +210,8 @@ class MultimodalRecommender(nn.Module):
             activation=self.fusion_activation,
             use_batch_norm=self.use_batch_norm,
             dropout_rate=self.dropout_rate,
-            final_activation=self.final_activation)
+            final_activation=self.final_activation,
+            dtype=self.dtype)
 
     # ------------------------------------------------------------------ towers
     def modality_features(
