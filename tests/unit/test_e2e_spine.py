@@ -184,3 +184,36 @@ class TestRecommender:
         np.testing.assert_allclose(np.sort(full)[::-1][:5], values[0],
                                    rtol=1e-4, atol=1e-5)
         assert set(idx[0]) == set(np.argsort(-full)[:5])
+
+
+class TestEvaluatorIntegration:
+    """Retrieval evaluator drives the real (batched) recommender path."""
+
+    def test_retrieval_eval_batched(self, id_only_setup):
+        cfg, ds, val, model = id_only_setup
+        from pixelrec_multimodal_tpu.training import Trainer
+        from pixelrec_multimodal_tpu.inference import Recommender
+        from pixelrec_multimodal_tpu.evaluation.tasks import (
+            TopKRetrievalEvaluator)
+        import pandas as pd
+        trainer = Trainer(model, config=cfg, checkpoint_dir=cfg.checkpoint_dir,
+                          use_contrastive=False)
+        trainer.train(ds, None, epochs=1, lr=0.01, batch_size=32)
+        variables = {'params': trainer.state.params}
+        if trainer.state.batch_stats is not None:
+            variables['batch_stats'] = trainer.state.batch_stats
+        rec = Recommender(model, variables, ds, item_chunk=128, user_chunk=8)
+        test = pd.DataFrame({'user_id': ['u0', 'u1', 'u2'],
+                             'item_id': ['i1', 'i2', 'i3']})
+        cfg.recommendation.top_k = 5
+        ev = TopKRetrievalEvaluator(rec, test, cfg, use_sampling=True,
+                                    num_negatives=10)
+        res = ev.evaluate()
+        assert res['num_users_evaluated'] == 3
+        assert 0.0 <= res['avg_ndcg_at_k'] <= 1.0
+        assert 0.0 <= res['avg_hit_rate_at_k'] <= 1.0
+        assert 'avg_personalization' in res
+        # Batched scores equal the per-user candidate path.
+        preds = res['predictions']['u0']
+        for item_id, score in preds[:3]:
+            assert abs(rec.get_item_score('u0', item_id) - score) < 1e-4
