@@ -50,12 +50,19 @@ class HashTokenizer:
         self.cls_id = cls_id
         self.sep_id = sep_id
         self.pad_id = pad_id
-        self._reserved = max(cls_id, sep_id, pad_id) + 1
+        self._special = {cls_id, sep_id, pad_id}
+        # Regular ids = vocab minus specials; specials may sit anywhere
+        # (BERT: low ids; CLIP: bos/eos at the end of the vocab).
+        self._num_regular = vocab_size - len(self._special)
 
     def _token_id(self, token: str) -> int:
         digest = hashlib.blake2b(token.encode('utf-8'), digest_size=8).digest()
-        bucket = int.from_bytes(digest, 'little') % (self.vocab_size - self._reserved)
-        return bucket + self._reserved
+        bucket = int.from_bytes(digest, 'little') % self._num_regular
+        # Skip over special ids to land on a regular slot.
+        for special in sorted(self._special):
+            if bucket >= special:
+                bucket += 1
+        return bucket
 
     def encode(self, text: str, max_length: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:

@@ -62,13 +62,24 @@ class CatalogScorer:
         item_idx = jnp.asarray(
             np.concatenate([np.arange(n), np.zeros(n_pad - n)]).astype(np.int32))
         tag_idx = padded(t['tag_idx'].astype(np.int32))
+
+        def padded_or_zeros(name, dim):
+            # Missing tables degrade to zero features (reference placeholder
+            # semantics, dataset.py:306-322) so graph shapes always match.
+            if name in t:
+                return padded(t[name].astype(np.float32))
+            return jnp.zeros((n_pad, dim), jnp.float32)
+
         kw = {}
-        if self.model.vision_feature_dim and 'vision_emb' in t:
-            kw['vision_features'] = padded(t['vision_emb'].astype(np.float32))
-        if self.model.language_feature_dim and 'language_emb' in t:
-            kw['language_features'] = padded(t['language_emb'].astype(np.float32))
-        if self.model.num_numerical_features > 0 and 'numerical' in t:
-            kw['numerical_features'] = padded(t['numerical'].astype(np.float32))
+        if self.model.vision_feature_dim:
+            kw['vision_features'] = padded_or_zeros(
+                'vision_emb', self.model.vision_feature_dim)
+        if self.model.language_feature_dim:
+            kw['language_features'] = padded_or_zeros(
+                'language_emb', self.model.language_feature_dim)
+        if self.model.num_numerical_features > 0:
+            kw['numerical_features'] = padded_or_zeros(
+                'numerical', self.model.num_numerical_features)
 
         tower = jax.jit(partial(self.model.apply, method='item_tower'))
         return tower(self.variables, item_idx, tag_idx, **kw)

@@ -52,18 +52,33 @@ def gather_feature_kwargs(model, tables: Dict[str, jnp.ndarray],
     """Item-index gathers from the feature tables -> model kwargs.
 
     This is the device-side replacement for the reference's per-sample cache
-    lookup + collate (dataset.py:217-249).
+    lookup + collate (dataset.py:217-249). A modality the model declares but
+    whose table is absent (e.g. encoder precompute not run) degrades to zero
+    features — the reference's placeholder-tensor semantics for missing
+    features (dataset.py:306-322) — so the compiled graph shape always matches
+    the model configuration.
     """
     it = batch['item_idx']
+    B = it.shape[0]
+
+    def take_or_zeros(name, dim):
+        if name in tables:
+            return jnp.take(tables[name], it, axis=0)
+        return jnp.zeros((B, dim), jnp.float32)
+
     kw: Dict[str, jnp.ndarray] = {}
-    if model.vision_feature_dim and 'vision_emb' in tables:
-        kw['vision_features'] = jnp.take(tables['vision_emb'], it, axis=0)
-    if model.language_feature_dim and 'language_emb' in tables:
-        kw['language_features'] = jnp.take(tables['language_emb'], it, axis=0)
-    if model.num_numerical_features > 0 and 'numerical' in tables:
-        kw['numerical_features'] = jnp.take(tables['numerical'], it, axis=0)
-    if model.contrastive_active and 'clip_text_emb' in tables:
-        kw['clip_text_features'] = jnp.take(tables['clip_text_emb'], it, axis=0)
+    if model.vision_feature_dim:
+        kw['vision_features'] = take_or_zeros('vision_emb',
+                                              model.vision_feature_dim)
+    if model.language_feature_dim:
+        kw['language_features'] = take_or_zeros('language_emb',
+                                                model.language_feature_dim)
+    if model.num_numerical_features > 0:
+        kw['numerical_features'] = take_or_zeros('numerical',
+                                                 model.num_numerical_features)
+    if model.contrastive_active:
+        kw['clip_text_features'] = take_or_zeros('clip_text_emb',
+                                                 model.clip_text_feature_dim)
     return kw
 
 

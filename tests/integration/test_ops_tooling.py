@@ -1,0 +1,216 @@
+"""Integration tests for ops tooling: HPO engine + script, training subsets,
+checkpoint manager, inspect_checkpoint."""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+SCRIPTS = Path(__file__).resolve().parents[2] / 'scripts'
+sys.path.insert(0, str(SCRIPTS))
+
+
+class TestHPOEngine:
+    def test_tpe_improves_over_random_on_quadratic(self):
+        from pixelrec_multimodal_tpu.hpo import TPESampler, create_study
+        study = create_study('quad', sampler=TPESampler(seed=0),
+                             direction='minimize')
+
+        def objective(trial):
+            x = trial.suggest_float('x', -10, 10)
+            y = trial.suggest_categorical('y', [1, 2, 3])
+            return (x - 3) ** 2 + y
+
+        study.optimize(objective, n_trials=60)
+        assert study.best_value < 1.5
+        assert abs(study.best_params['x'] - 3) < 1.2
+        assert study.best_params['y'] == 1
+
+    def test_log_scale_and_int(self):
+        from pixelrec_multimodal_tpu.hpo import TPESampler, create_study
+        study = create_study('log', sampler=TPESampler(seed=1))
+
+        def objective(trial):
+            lr = trial.suggest_float('lr', 1e-5, 1e-1, log=True)
+            n = trial.suggest_int('n', 1, 10)
+            return abs(np.log10(lr) + 3) + abs(n - 4) * 0.1
+
+        study.optimize(objective, n_trials=50)
+        assert study.best_value < 1.0
+
+    def test_pruning(self):
+        from pixelrec_multimodal_tpu.hpo import (
+            MedianPruner, TPESampler, TrialPruned, TrialState, create_study)
+        study = create_study('pruned', sampler=TPESampler(seed=0),
+                             pruner=MedianPruner(n_startup_trials=3))
+        pruned_count = 0
+
+        def objective(trial):
+            x = trial.suggest_float('x', 0, 1)
+            for step in range(5):
+                trial.report(x + step * 0.01, step)
+                if trial.should_prune():
+                    nonlocal pruned_count
+                    pruned_count += 1
+                    raise TrialPruned()
+            return x
+
+        study.optimize(objective, n_trials=30)
+        states = [t.state for t in study.trials]
+        assert TrialState.PRUNED in states
+        assert study.best_value is not None
+
+    def test_persistence_resume(self, tmp_path):
+        from pixelrec_multimodal_tpu.hpo import TPESampler, create_study
+        storage = str(tmp_path / 'study.json')
+        s1 = create_study('persist', storage=storage,
+                          sampler=TPESampler(seed=0))
+        s1.optimize(lambda t: t.suggest_float('x', 0, 1) ** 2, n_trials=5)
+        s2 = create_study('persist', storage=storage,
+                          sampler=TPESampler(seed=0), load_if_exists=True)
+        assert len(s2.trials) == 5
+        s2.optimize(lambda t: t.suggest_float('x', 0, 1) ** 2, n_trials=3)
+        assert len(s2.trials) == 8
+        df = s2.trials_dataframe()
+        assert len(df) == 8
+        assert 'params_x' in df.columns
+
+    def test_failed_trials_recorded(self):
+        from pixelrec_multimodal_tpu.hpo import TrialState, create_study
+
+        def objective(trial):
+            trial.suggest_float('x', 0, 1)
+            raise RuntimeError('boom')
+
+        study = create_study('fails')
+        study.optimize(objective, n_trials=2)
+        assert all(t.state == TrialState.FAIL for t in study.trials)
+        assert study.best_trial is None
+
+
+@pytest.fixture(scope='module')
+def tiny_workspace(tmp_path_factory):
+    """Processed data + splits + config, ready for train/HPO scripts."""
+    root = tmp_path_factory.mktemp('hpo_ws')
+    rng = np.random.default_rng(3)
+    n_users, n_items = 12, 25
+    processed = root / 'data/processed'
+    processed.mkdir(parents=True)
+    items = pd.DataFrame({
+        'item_id': [f'i{j}' for j in range(n_items)],
+        'tag': [f't{j % 3}' for j in range(n_items)],
+        'description': [f'item {j}' for j in range(n_items)],
+        'view_number': rng.random(n_items) * 10,
+    })
+    items.to_csv(processed / 'item_info.csv', index=False)
+    rows = []
+    for u in range(n_users):
+        for it in rng.choice(n_items, 6, replace=False):
+            rows.append((f'u{u}', f'i{it}'))
+    inter = pd.DataFrame(rows, columns=['user_id', 'item_id'])
+    base = pd.Timestamp('2023-01-01').value // 10 ** 9
+    inter['timestamp'] = pd.to_datetime(
+        base + rng.permutation(len(inter)) * 86400, unit='s')
+    inter.to_csv(processed / 'interactions.csv', index=False)
+
+    splits = root / 'data/splits/split_1'
+    splits.mkdir(parents=True)
+    perm = rng.permutation(len(inter))
+    inter.iloc[perm[:48]].to_csv(splits / 'train.csv', index=False)
+    inter.iloc[perm[48:60]].to_csv(splits / 'val.csv', index=False)
+    inter.iloc[perm[60:]].to_csv(splits / 'test.csv', index=False)
+
+    cfg = {
+        'model': {'vision_model': None, 'language_model': None,
+                  'embedding_dim': 8, 'fusion_hidden_dims': [16],
+                  'use_contrastive': False, 'use_batch_norm': False},
+        'training': {'batch_size': 32, 'epochs': 1, 'learning_rate': 0.01,
+                     'patience': 3},
+        'data': {
+            'processed_item_info_path': str(processed / 'item_info.csv'),
+            'processed_interactions_path': str(processed / 'interactions.csv'),
+            'image_folder': str(root / 'none'),
+            'scaler_path': str(processed / 'numerical_scaler.pkl'),
+            'split_data_path': str(splits),
+            'train_data_path': str(splits / 'train.csv'),
+            'val_data_path': str(splits / 'val.csv'),
+            'test_data_path': str(splits / 'test.csv'),
+            'numerical_features_cols': ['view_number'],
+            'categorical_features_cols': ['tag'],
+            'cache_config': {'enabled': False},
+            'splitting': {'random_state': 42},
+        },
+        'recommendation': {'top_k': 5},
+        'checkpoint_dir': str(root / 'models/checkpoints'),
+        'results_dir': str(root / 'results'),
+    }
+    cfg_path = root / 'config.yaml'
+    cfg_path.write_text(yaml.dump(cfg))
+    return root, str(cfg_path)
+
+
+class TestTrainingSubsets:
+    def test_create_subsets(self, tiny_workspace):
+        root, cfg = tiny_workspace
+        import create_training_subsets
+        create_training_subsets.create_subsets(cfg)
+        splits = root / 'data/splits/split_1'
+        full = pd.read_csv(splits / 'train.csv')
+        s50 = pd.read_csv(splits / 'train_50_percent.csv')
+        s20 = pd.read_csv(splits / 'train_20_percent.csv')
+        s05 = pd.read_csv(splits / 'train_05_percent.csv')
+        assert abs(len(s50) - len(full) * 0.5) <= 2
+        assert abs(len(s20) - len(full) * 0.2) <= 2
+        assert len(s05) >= 1
+        # Nested property: 5% ⊆ 20% ⊆ 50%.
+        key = lambda df: set(zip(df['user_id'], df['item_id']))
+        assert key(s05) <= key(s20) <= key(s50)
+
+
+class TestHPOScript:
+    def test_two_trial_search(self, tiny_workspace):
+        root, cfg = tiny_workspace
+        import hyperparameter_search
+        out_dir = root / 'optuna_trials'
+        study = hyperparameter_search.main([
+            '--config', cfg,
+            '--n_trials', '2',
+            '--output_dir', str(out_dir),
+            '--study_name', 'test_study',
+        ])
+        assert (out_dir / 'study_config.json').exists()
+        done = [t for t in study.trials if t.value is not None]
+        assert len(done) >= 1
+        assert (out_dir / 'best_params.json').exists()
+        assert (out_dir / 'best_config.yaml').exists()
+        best = json.loads((out_dir / 'best_params.json').read_text())
+        assert 'learning_rate' in best['params']
+
+
+class TestCheckpointManager:
+    def test_list_info_organize(self, tiny_workspace):
+        root, cfg = tiny_workspace
+        import checkpoint_manager
+        import train
+        train.main(['--config', cfg])
+        ckpt_dir = str(root / 'models/checkpoints')
+        checkpoint_manager.main(['list', '--checkpoint_dir', ckpt_dir])
+        checkpoint_manager.main(['info', '--checkpoint_dir', ckpt_dir])
+        info = json.loads(
+            (root / 'models/checkpoints/checkpoint_info.json').read_text())
+        assert info['num_checkpoints'] >= 2
+        combos = {c['model_combo'] for c in info['checkpoints']}
+        assert 'None_None' in combos
+        # organize (dry-run) runs without error on already-organized tree.
+        checkpoint_manager.main(['organize', '--checkpoint_dir', ckpt_dir,
+                                 '--dry-run'])
+
+    def test_inspect_checkpoint(self, tiny_workspace):
+        root, cfg = tiny_workspace
+        import inspect_checkpoint
+        ok = inspect_checkpoint.inspect_checkpoint_weights(
+            str(root / 'models/checkpoints/None_None/best_model'))
+        assert ok
