@@ -246,18 +246,25 @@ class MultimodalDataset:
 
     # ----------------------------------------------------------------- batches
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 0, drop_remainder: bool = False
+                seed: int = 0, drop_remainder: bool = False,
+                include_raw: tuple = ()
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Iterate over index-triple batches for the compiled train step.
 
         Yields {'user_idx', 'item_idx', 'tag_idx', 'label', 'weight'} with a
         static ``batch_size`` leading dim; the trailing partial batch is padded
         and masked via 'weight'.
+
+        ``include_raw`` adds raw per-item inputs for the end-to-end (unfrozen
+        encoder) path: 'image' (normalized float CHW pixels), 'text' (token
+        ids + mask), 'clip_text'. The frozen path never needs these — item
+        features are gathered from device tables inside the step.
         """
         n = len(self)
         order = (np.random.default_rng(seed).permutation(n) if shuffle
                  else np.arange(n))
-        tag_table = self.feature_store.tables['tag_idx']
+        tables = self.feature_store.tables
+        tag_table = tables['tag_idx']
         for start in range(0, n, batch_size):
             idx = order[start:start + batch_size]
             valid = len(idx)
@@ -274,6 +281,17 @@ class MultimodalDataset:
                 'label': self.samples['label'][idx].astype(np.float32),
                 'weight': (np.arange(batch_size) < valid).astype(np.float32),
             }
+            if 'image' in include_raw:
+                batch['image'] = self.feature_store.image_batch(items)
+            if 'text' in include_raw and 'text_input_ids' in tables:
+                batch['text_input_ids'] = tables['text_input_ids'][items]
+                batch['text_attention_mask'] = \
+                    tables['text_attention_mask'][items]
+            if 'clip_text' in include_raw and 'clip_text_input_ids' in tables:
+                batch['clip_text_input_ids'] = \
+                    tables['clip_text_input_ids'][items]
+                batch['clip_text_attention_mask'] = \
+                    tables['clip_text_attention_mask'][items]
             yield batch
 
     def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:

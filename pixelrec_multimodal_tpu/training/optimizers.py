@@ -59,21 +59,67 @@ def build_optimizer(optimizer_type: str = 'adamw',
     return optax.chain(optax.identity(), inner)
 
 
-def _inject_state(opt_state):
-    """The InjectHyperparamsState inside our (clip, inner) chain."""
-    return opt_state[1]
+def with_frozen(tx: optax.GradientTransformation,
+                trainable_mask) -> optax.GradientTransformation:
+    """Apply ``tx`` only to trainable leaves; frozen leaves get zero updates.
+
+    ``trainable_mask`` is a pytree of bools matching the params. Used for the
+    reference's freeze_vision/freeze_language semantics
+    (/root/reference/src/models/multimodal.py:230-250) — frozen encoder
+    subtrees receive neither gradients nor (crucially, for AdamW) decoupled
+    weight decay.
+    """
+    import jax
+
+    frozen_mask = jax.tree.map(lambda b: not b, trainable_mask)
+    return optax.chain(
+        optax.masked(tx, trainable_mask),
+        optax.masked(optax.set_to_zero(), frozen_mask),
+    )
+
+
+def _find_inject(node):
+    """Locate the InjectHyperparamsState anywhere in an opt-state tree
+    (it may be wrapped by chain tuples or optax.masked states)."""
+    if hasattr(node, 'hyperparams'):
+        return node
+    if hasattr(node, 'inner_state'):
+        return _find_inject(node.inner_state)
+    if isinstance(node, (tuple, list)):
+        for child in node:
+            found = _find_inject(child)
+            if found is not None:
+                return found
+    return None
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(_inject_state(opt_state).hyperparams['learning_rate'])
+    inject = _find_inject(opt_state)
+    if inject is None:
+        raise ValueError("No inject-hyperparams state found in opt_state")
+    return float(inject.hyperparams['learning_rate'])
 
 
 def set_learning_rate(opt_state, lr: float):
     """Return a copy of opt_state with the LR hyperparameter replaced."""
-    inject = _inject_state(opt_state)
-    hp = dict(inject.hyperparams)
-    hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
-    return (opt_state[0], inject._replace(hyperparams=hp))
+    target = _find_inject(opt_state)
+    if target is None:
+        raise ValueError("No inject-hyperparams state found in opt_state")
+
+    def rebuild(node):
+        if node is target:
+            hp = dict(node.hyperparams)
+            hp['learning_rate'] = jnp.asarray(lr, jnp.float32)
+            return node._replace(hyperparams=hp)
+        if hasattr(node, 'inner_state'):
+            return node._replace(inner_state=rebuild(node.inner_state))
+        if isinstance(node, tuple):
+            return tuple(rebuild(c) for c in node)
+        if isinstance(node, list):
+            return [rebuild(c) for c in node]
+        return node
+
+    return rebuild(opt_state)
 
 
 class LRScheduler:
