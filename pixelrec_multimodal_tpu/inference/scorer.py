@@ -35,7 +35,7 @@ class CatalogScorer:
 
     def __init__(self, model, variables: Dict, feature_store,
                  item_chunk: int = 8192, user_chunk: int = 64,
-                 mesh=None):
+                 mesh=None, fast_path: bool = True):
         self.model = model
         self.variables = variables
         self.store = feature_store
@@ -48,6 +48,24 @@ class CatalogScorer:
         self._item_feats = self._build_item_tower()  # [n_pad, M, D]
         self._pad_mask = np.zeros(self.n_pad, dtype=bool)
         self._pad_mask[self.n_items:] = True  # True = invalid (padding)
+
+        # Fused factorized scoring head (concatenate fusion only): the
+        # prediction MLP with BatchNorm folded, first layer split into
+        # user/item parts, pair scoring as a Pallas kernel
+        # (ops/pairwise_mlp.py). ~2x FLOP cut + VMEM-resident activations.
+        self._head = None
+        self._item_first = None
+        if fast_path and model.fusion_type == 'concatenate':
+            from ..ops.pairwise_mlp import (
+                build_factorized_head,
+                compute_item_first,
+            )
+            self._head = build_factorized_head(variables, model)
+            if self._head is not None:
+                item_flat = self._item_feats.reshape(self.n_pad, -1)
+                self._item_first = compute_item_first(
+                    self._head, item_flat)  # [n_pad, h1]
+        self._use_pallas = jax.default_backend() == 'tpu'
 
     # ------------------------------------------------------------- item tower
     def _build_item_tower(self) -> jnp.ndarray:
@@ -127,6 +145,49 @@ class CatalogScorer:
         carry, _ = jax.lax.scan(body, init_topk(B, k), (chunks, masks, offsets))
         return carry
 
+    # ------------------------------------------------------ fast (factorized)
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _topk_scan_fast(self, variables, item_first: jnp.ndarray,
+                        user_idx: jnp.ndarray, invalid_mask: jnp.ndarray,
+                        k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming top-k over the catalog through the fused pairwise-MLP
+        kernel. item_first: [n_pad, h1] precomputed item-side first layer."""
+        from ..ops.pairwise_mlp import (
+            compute_user_first,
+            pallas_pairwise_scores,
+            xla_pairwise_scores,
+        )
+        B = user_idx.shape[0]
+        C = self.item_chunk
+        num_chunks = self.n_pad // C
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        user_first = compute_user_first(self._head, user_emb)  # [B, h1]
+        chunks = item_first.reshape(num_chunks, C, item_first.shape[-1])
+        masks = invalid_mask.reshape(B, num_chunks, C).transpose(1, 0, 2)
+        offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
+
+        # Pad the user block to the kernel's user-tile multiple.
+        TB = 16
+        B_pad = ((B + TB - 1) // TB) * TB
+        uf = jnp.zeros((B_pad, user_first.shape[1]),
+                       user_first.dtype).at[:B].set(user_first)
+
+        def body(carry, xs):
+            chunk, mask, off = xs
+            if self._use_pallas:
+                s = pallas_pairwise_scores(self._head, uf, chunk,
+                                           tile_users=TB)[:B]
+            else:
+                s = xla_pairwise_scores(self._head, uf[:B], chunk)
+            s = jnp.where(mask, NEG_INF, s)
+            idx = off + jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+            return merge_topk(*carry, s, idx, k), None
+
+        carry, _ = jax.lax.scan(body, init_topk(B, k),
+                                (chunks, masks, offsets))
+        return carry
+
     @partial(jax.jit, static_argnums=0)
     def _score_candidates(self, variables, item_feats: jnp.ndarray,
                           user_idx: jnp.ndarray,
@@ -160,8 +221,14 @@ class CatalogScorer:
             invalid = np.broadcast_to(self._pad_mask, (B, self.n_pad)).copy()
             if seen_mask is not None:
                 invalid[:, :self.n_items] |= seen_mask[s:s + self.user_chunk]
-            v, i = self._topk_scan(self.variables, self._item_feats,
-                                   jnp.asarray(users), jnp.asarray(invalid), k)
+            if self._head is not None:
+                v, i = self._topk_scan_fast(
+                    self.variables, self._item_first, jnp.asarray(users),
+                    jnp.asarray(invalid), k)
+            else:
+                v, i = self._topk_scan(
+                    self.variables, self._item_feats, jnp.asarray(users),
+                    jnp.asarray(invalid), k)
             v, i = np.array(v), np.array(i)  # copies: jax buffers are read-only
             i[v <= float(NEG_INF) / 2] = -1
             out_v.append(v)

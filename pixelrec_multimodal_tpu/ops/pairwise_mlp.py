@@ -1,0 +1,223 @@
+# pixelrec_multimodal_tpu/ops/pairwise_mlp.py
+"""Fused pairwise-MLP scoring: the full-catalog hot path as one Pallas kernel.
+
+The headline op of BASELINE.json — score every (user, item) pair through the
+prediction MLP — is HBM-bound when expressed naively: each MLP layer's
+activations ([pairs, width]) round-trip through HBM between matmuls. This
+module makes it compute-bound:
+
+  1. **First-layer factorization** (concatenate fusion): the first Dense over
+     ``concat(user_emb, item_block)`` splits into a per-user part
+     ``user_emb @ W_u`` (computed once per user block) and a per-item part
+     ``item_block @ W_i + b`` (computed ONCE per catalog). Per pair only a
+     broadcast add remains — a ~2x FLOP cut on [512,256,128] heads.
+  2. **BatchNorm folding**: eval-mode BN is affine, folded into the following
+     Dense's kernel/bias, so the MLP collapses to pure Dense->act chains.
+  3. **Pallas tiling**: a (user-tile x item-tile) grid; each kernel instance
+     keeps the whole layer chain's activations in VMEM and runs the matmuls
+     back-to-back on the MXU. HBM traffic per tile is O(tile edges), not
+     O(pairs x width).
+
+A pure-XLA fallback with identical math backs correctness tests and non-TPU
+platforms. Replaces the reference's batch-256 python scoring loop
+(/root/reference/src/inference/recommender.py:96-236).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.multimodal import activation_fn
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_factorized_head(variables: dict, model) -> Optional[dict]:
+    """Build the factorized, BN-folded head from a full variables dict
+    ({'params': ..., 'batch_stats': ...})."""
+    if model.fusion_type != 'concatenate':
+        return None
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    pn = params['prediction_network']
+    pn_stats = stats.get('prediction_network', {}) if stats else {}
+    n_hidden = len(model.fusion_hidden_dims)
+    d = model.embedding_dim
+
+    kernels = [np.asarray(pn[f'Dense_{i}']['kernel'], np.float32)
+               for i in range(n_hidden + 1)]
+    biases = [np.asarray(pn[f'Dense_{i}']['bias'], np.float32)
+              for i in range(n_hidden + 1)]
+
+    # Fold eval-mode BatchNorm after layer i into layer i+1:
+    # h' = a*h + c with a = scale/sqrt(var+eps), c = bias - mean*a
+    # => W_{i+1}' = a[:,None] * W_{i+1};  b_{i+1}' += c @ W_{i+1}.
+    for i in range(n_hidden):
+        name = f'BatchNorm_{i}'
+        if model.use_batch_norm and name in pn:
+            if name not in pn_stats:
+                # BN without running stats: cannot fold -> no fast path.
+                return None
+            scale = np.asarray(pn[name]['scale'], np.float32)
+            bias = np.asarray(pn[name]['bias'], np.float32)
+            mean = np.asarray(pn_stats[name]['mean'], np.float32)
+            var = np.asarray(pn_stats[name]['var'], np.float32)
+            a = scale / np.sqrt(var + 1e-5)
+            c = bias - mean * a
+            # (a*h + c) @ W + b  ==  h @ (a[:,None]*W) + (b + c @ W);
+            # the bias correction uses the ORIGINAL kernel.
+            biases[i + 1] = biases[i + 1] + c @ kernels[i + 1]
+            kernels[i + 1] = a[:, None] * kernels[i + 1]
+
+    w1, b1 = kernels[0], biases[0]
+    w_user, w_item = w1[:d], w1[d:]
+
+    # Pad all dims to lane multiples for clean MXU tiling.
+    def pad2(w, rows, cols):
+        out = np.zeros((rows, cols), np.float32)
+        out[:w.shape[0], :w.shape[1]] = w
+        return out
+
+    h1 = _round_up(w1.shape[1], LANE)
+    padded_w_user = pad2(w_user, _round_up(d, LANE), h1)[:d]
+    padded_w_item = pad2(w_item, _round_up(w_item.shape[0], LANE),
+                         h1)[:w_item.shape[0]]
+    padded_b1 = np.zeros(h1, np.float32)
+    padded_b1[:b1.shape[0]] = b1
+
+    layers: List[Tuple[np.ndarray, np.ndarray]] = []
+    prev = h1
+    for i in range(1, n_hidden + 1):
+        w, b = kernels[i], biases[i]
+        cols = _round_up(w.shape[1], LANE) if i < n_hidden else LANE
+        wp = pad2(w, prev, cols)
+        bp = np.zeros(cols, np.float32)
+        bp[:b.shape[0]] = b
+        layers.append((wp, bp))
+        prev = cols
+
+    return {
+        'w_user': jnp.asarray(padded_w_user),
+        'w_item': jnp.asarray(padded_w_item),
+        'b1': jnp.asarray(padded_b1),
+        'layers': [(jnp.asarray(w), jnp.asarray(b)) for w, b in layers],
+        'activation': model.fusion_activation,
+        'final_activation': model.final_activation,
+    }
+
+
+def _apply_final(x, final_activation: str):
+    if final_activation == 'sigmoid':
+        return jax.nn.sigmoid(x)
+    if final_activation == 'tanh':
+        return jnp.tanh(x)
+    return x
+
+
+def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
+                        item_first: jnp.ndarray) -> jnp.ndarray:
+    """Reference implementation: [B,h1] x [C,h1] -> [B,C] scores."""
+    act = activation_fn(head['activation'])
+    B, C = user_first.shape[0], item_first.shape[0]
+    h = act(user_first[:, None, :] + item_first[None, :, :] + head['b1'])
+    x = h.reshape(B * C, -1)
+    for i, (w, b) in enumerate(head['layers']):
+        x = x @ w + b
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    scores = _apply_final(x[:, 0], head['final_activation'])
+    return scores.reshape(B, C)
+
+
+def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
+                     out_ref, n_layers, activation, final_activation,
+                     compute_dtype):
+    """Pallas kernel: one (user-tile, item-tile) block of the score matrix.
+
+    All intermediates live in VMEM; matmuls hit the MXU back-to-back.
+    """
+    act = activation_fn(activation)
+    u = user_ref[:].astype(compute_dtype)      # [TB, h1]
+    it = item_ref[:].astype(compute_dtype)     # [TC, h1]
+    b1 = b1_ref[:].astype(compute_dtype)       # [h1]
+    TB, TC = u.shape[0], it.shape[0]
+
+    x = act(u[:, None, :] + it[None, :, :] + b1[None, None, :])
+    x = x.reshape(TB * TC, -1)
+    for i in range(n_layers):
+        w = layer_refs[2 * i][:].astype(compute_dtype)
+        b = layer_refs[2 * i + 1][:].astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        x = (x + b).astype(compute_dtype)
+        if i < n_layers - 1:
+            x = act(x)
+    scores = _apply_final(x[:, 0].astype(jnp.float32), final_activation)
+    out_ref[:] = scores.reshape(TB, TC)
+
+
+def pallas_pairwise_scores(head: dict, user_first: jnp.ndarray,
+                           item_first: jnp.ndarray,
+                           tile_users: int = 16, tile_items: int = 128,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused [B,h1] x [C,h1] -> [B,C] pair scoring on TPU.
+
+    B must be a multiple of tile_users and C of tile_items (callers pad).
+    """
+    from jax.experimental import pallas as pl
+
+    B, h1 = user_first.shape
+    C = item_first.shape[0]
+    n_layers = len(head['layers'])
+    grid = (B // tile_users, C // tile_items)
+
+    layer_specs = []
+    layer_args = []
+    for w, b in head['layers']:
+        layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+        layer_args.extend([w, b])
+
+    kernel = functools.partial(
+        _pairwise_kernel, n_layers=n_layers,
+        activation=head['activation'],
+        final_activation=head['final_activation'],
+        compute_dtype=compute_dtype)
+
+    def wrapped(user_ref, item_ref, b1_ref, *rest):
+        *layer_refs, out_ref = rest
+        kernel(user_ref, item_ref, b1_ref, *layer_refs, out_ref=out_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_users, h1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_items, h1), lambda i, j: (j, 0)),
+            pl.BlockSpec((h1,), lambda i, j: (0,)),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_users, tile_items),
+                               lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        interpret=interpret,
+    )(user_first, item_first, head['b1'], *layer_args)
+
+
+def compute_item_first(head: dict, item_flat: jnp.ndarray) -> jnp.ndarray:
+    """Per-item first-layer part, computed once per catalog:
+    item_flat [N, D_item] @ W_item -> [N, h1] (bias folded at pair time)."""
+    return item_flat.astype(jnp.float32) @ head['w_item']
+
+
+def compute_user_first(head: dict, user_emb: jnp.ndarray) -> jnp.ndarray:
+    """Per-user first-layer part: user_emb [B, d] @ W_user -> [B, h1]."""
+    return user_emb.astype(jnp.float32) @ head['w_user']

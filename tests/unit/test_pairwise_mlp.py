@@ -1,0 +1,173 @@
+"""Tests for the fused factorized pairwise-MLP scoring path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pixelrec_multimodal_tpu.models.multimodal import MultimodalRecommender
+from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+    build_factorized_head,
+    compute_item_first,
+    compute_user_first,
+    pallas_pairwise_scores,
+    xla_pairwise_scores,
+)
+
+N_USERS, N_ITEMS, N_TAGS = 8, 20, 3
+
+
+def make_model(use_batch_norm=True, final_activation='sigmoid'):
+    return MultimodalRecommender(
+        n_users=N_USERS, n_items=N_ITEMS, n_tags=N_TAGS,
+        num_numerical_features=2, embedding_dim=8,
+        vision_feature_dim=6, language_feature_dim=5,
+        use_contrastive=False, fusion_hidden_dims=(32, 16),
+        fusion_type='concatenate', use_batch_norm=use_batch_norm,
+        dropout_rate=0.2, final_activation=final_activation)
+
+
+def init_variables(model, train_batches=3):
+    """Initialize and run a few train steps so BN stats are non-trivial."""
+    rng = np.random.default_rng(0)
+    B = 16
+    kw = dict(
+        vision_features=jnp.asarray(rng.standard_normal((B, 6)), jnp.float32),
+        language_features=jnp.asarray(rng.standard_normal((B, 5)),
+                                      jnp.float32),
+        numerical_features=jnp.asarray(rng.standard_normal((B, 2)),
+                                       jnp.float32))
+    idx = jnp.asarray(rng.integers(0, 8, B), jnp.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, idx, idx,
+                           idx % N_TAGS, train=False, **kw)
+    if 'batch_stats' in variables:
+        state = dict(variables)
+        for _ in range(train_batches):
+            _, mutated = model.apply(
+                state, idx, idx, idx % N_TAGS, train=True,
+                rngs={'dropout': jax.random.PRNGKey(1)},
+                mutable=['batch_stats'], **kw)
+            state['batch_stats'] = mutated['batch_stats']
+        variables = state
+    return variables
+
+
+class TestFactorizedHead:
+    @pytest.mark.parametrize('use_bn', [True, False])
+    @pytest.mark.parametrize('final', ['sigmoid', 'none'])
+    def test_matches_generic_path(self, use_bn, final):
+        """Factorized+folded scoring == the flax score_from_towers path."""
+        model = make_model(use_batch_norm=use_bn, final_activation=final)
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        assert head is not None
+
+        rng = np.random.default_rng(1)
+        C = 12
+        item_idx = jnp.arange(C, dtype=jnp.int32)
+        tag_idx = item_idx % N_TAGS
+        kw = dict(
+            vision_features=jnp.asarray(rng.standard_normal((C, 6)),
+                                        jnp.float32),
+            language_features=jnp.asarray(rng.standard_normal((C, 5)),
+                                          jnp.float32),
+            numerical_features=jnp.asarray(rng.standard_normal((C, 2)),
+                                           jnp.float32))
+        item_feats = model.apply(variables, item_idx, tag_idx,
+                                 method='item_tower', **kw)  # [C, M, D]
+
+        B = 4
+        user_idx = jnp.arange(B, dtype=jnp.int32)
+        user_emb = model.apply(variables, user_idx, method='user_tower')
+
+        # Generic path: score all pairs via score_from_towers.
+        ue = jnp.repeat(user_emb, C, axis=0)
+        it = jnp.tile(item_feats, (B, 1, 1))
+        generic = model.apply(variables, ue, it,
+                              method='score_from_towers').reshape(B, C)
+
+        # Fast path.
+        item_first = compute_item_first(head, item_feats.reshape(C, -1))
+        user_first = compute_user_first(head, user_emb)
+        fast = xla_pairwise_scores(head, user_first, item_first)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(generic),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_non_concat_returns_none(self):
+        model = MultimodalRecommender(
+            n_users=4, n_items=8, n_tags=2, num_numerical_features=0,
+            embedding_dim=8, fusion_hidden_dims=(16,), fusion_type='gated',
+            use_contrastive=False)
+        variables = model.init({'params': jax.random.PRNGKey(0)},
+                               jnp.zeros(2, jnp.int32),
+                               jnp.zeros(2, jnp.int32),
+                               jnp.zeros(2, jnp.int32), train=False)
+        assert build_factorized_head(variables, model) is None
+
+
+class TestPallasKernel:
+    def test_interpret_matches_xla(self):
+        """The Pallas kernel (interpret mode on CPU) matches the XLA math."""
+        model = make_model()
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        rng = np.random.default_rng(2)
+        B, C = 16, 128  # one tile each
+        h1 = head['b1'].shape[0]
+        user_first = jnp.asarray(rng.standard_normal((B, h1)), jnp.float32)
+        item_first = jnp.asarray(rng.standard_normal((C, h1)), jnp.float32)
+        ref = xla_pairwise_scores(head, user_first, item_first)
+        out = pallas_pairwise_scores(head, user_first, item_first,
+                                     tile_users=16, tile_items=128,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_tile_grid(self):
+        model = make_model(use_batch_norm=False)
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        rng = np.random.default_rng(3)
+        B, C = 32, 256  # 2x2 tiles
+        h1 = head['b1'].shape[0]
+        user_first = jnp.asarray(rng.standard_normal((B, h1)), jnp.float32)
+        item_first = jnp.asarray(rng.standard_normal((C, h1)), jnp.float32)
+        ref = xla_pairwise_scores(head, user_first, item_first)
+        out = pallas_pairwise_scores(head, user_first, item_first,
+                                     tile_users=16, tile_items=128,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestScorerFastPathIntegration:
+    def test_topk_fast_matches_generic(self):
+        """CatalogScorer with fast path on == off, same top-k results."""
+        from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        model = make_model()
+        variables = init_variables(model)
+        rng = np.random.default_rng(4)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS) % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+
+        fast = CatalogScorer(model, variables, store, item_chunk=128,
+                             user_chunk=8, fast_path=True)
+        slow = CatalogScorer(model, variables, store, item_chunk=128,
+                             user_chunk=8, fast_path=False)
+        assert fast._head is not None
+
+        users = np.arange(4, dtype=np.int32)
+        vf, idf = fast.top_k(users, 5)
+        vs, ids = slow.top_k(users, 5)
+        np.testing.assert_array_equal(idf, ids)
+        np.testing.assert_allclose(vf, vs, rtol=2e-4, atol=2e-5)
