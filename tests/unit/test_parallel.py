@@ -122,3 +122,47 @@ class TestSimpleCacheCompat:
         # Pickle-safe (drops the lock).
         c3 = pickle.loads(pickle.dumps(c))
         assert c3.get('i1') is not None
+
+
+class TestShardedTraining:
+    def test_trainer_with_mesh(self, devices, tmp_path):
+        """Full Trainer epoch with a (4, 2) mesh: dp batches + replicated
+        params; XLA emits the gradient psums from the shardings."""
+        import pandas as pd
+        from pixelrec_multimodal_tpu.config import Config
+        from pixelrec_multimodal_tpu.data.dataset import MultimodalDataset
+        from pixelrec_multimodal_tpu.models import build_model
+        from pixelrec_multimodal_tpu.training import Trainer
+
+        rng = np.random.default_rng(0)
+        rows = []
+        for u in range(8):
+            for it in rng.choice(24, size=5, replace=False):
+                rows.append((f'u{u}', f'i{it}'))
+        inter = pd.DataFrame(rows, columns=['user_id', 'item_id'])
+        items = pd.DataFrame({
+            'item_id': [f'i{j}' for j in range(24)],
+            'tag': [f't{j % 2}' for j in range(24)],
+            'views': rng.random(24),
+        })
+        ds = MultimodalDataset(
+            inter, items, image_folder='/none',
+            vision_model_name=None, language_model_name=None,
+            numerical_feat_cols=['views'], categorical_feat_cols=['tag'],
+            numerical_normalization_method='standardization')
+
+        cfg = Config()
+        cfg.model.vision_model = None
+        cfg.model.language_model = None
+        cfg.model.embedding_dim = 8
+        cfg.model.fusion_hidden_dims = [16]
+        cfg.model.use_contrastive = False
+        cfg.checkpoint_dir = str(tmp_path)
+
+        mesh = make_mesh(model_parallel=2)
+        model = build_model(cfg.model, ds.n_users, ds.n_items, ds.n_tags, 1)
+        trainer = Trainer(model, config=cfg, checkpoint_dir=str(tmp_path),
+                          use_contrastive=False, mesh=mesh)
+        losses, _ = trainer.train(ds, None, epochs=1, lr=0.01, batch_size=16)
+        assert len(losses) == 1
+        assert np.isfinite(losses[0])
