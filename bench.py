@@ -82,7 +82,7 @@ def bench_tpu() -> float:
         train=False)
 
     scorer = CatalogScorer(model, variables, store,
-                           item_chunk=8192, user_chunk=128)
+                           item_chunk=8192, user_chunk=256)
     users = rng.integers(0, 4096, N_USERS).astype(np.int32)
 
     log("warmup/compile...")

@@ -148,10 +148,16 @@ class CatalogScorer:
     # ------------------------------------------------------ fast (factorized)
     @partial(jax.jit, static_argnums=(0, 5))
     def _topk_scan_fast(self, variables, item_first: jnp.ndarray,
-                        user_idx: jnp.ndarray, invalid_mask: jnp.ndarray,
+                        user_idx: jnp.ndarray, seen_items: jnp.ndarray,
                         k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Streaming top-k over the catalog through the fused pairwise-MLP
-        kernel. item_first: [n_pad, h1] precomputed item-side first layer."""
+        kernel. item_first: [n_pad, h1] precomputed item-side first layer.
+
+        seen_items: [B, H] per-user excluded item positions padded with -1 —
+        a compact mask representation built in-graph per chunk (B x C x H
+        compares on the VPU), avoiding a dense [B, n_pad] host->device
+        transfer per call.
+        """
         from ..ops.pairwise_mlp import (
             compute_user_first,
             pallas_pairwise_scores,
@@ -163,7 +169,6 @@ class CatalogScorer:
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
         user_first = compute_user_first(self._head, user_emb)  # [B, h1]
         chunks = item_first.reshape(num_chunks, C, item_first.shape[-1])
-        masks = invalid_mask.reshape(B, num_chunks, C).transpose(1, 0, 2)
         offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         # Pad the user block to the kernel's user-tile multiple.
@@ -173,19 +178,23 @@ class CatalogScorer:
                        user_first.dtype).at[:B].set(user_first)
 
         def body(carry, xs):
-            chunk, mask, off = xs
+            chunk, off = xs
             if self._use_pallas:
                 s = pallas_pairwise_scores(self._head, uf, chunk,
                                            tile_users=TB)[:B]
             else:
                 s = xla_pairwise_scores(self._head, uf[:B], chunk)
-            s = jnp.where(mask, NEG_INF, s)
-            idx = off + jnp.broadcast_to(
-                jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+            cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids
+            invalid = cidx[None, :] >= self.n_items       # padding
+            if seen_items.shape[1] > 0:
+                hits = jnp.any(
+                    seen_items[:, :, None] == cidx[None, None, :], axis=1)
+                invalid = invalid | hits
+            s = jnp.where(invalid, NEG_INF, s)
+            idx = jnp.broadcast_to(cidx[None, :], (B, C))
             return merge_topk(*carry, s, idx, k), None
 
-        carry, _ = jax.lax.scan(body, init_topk(B, k),
-                                (chunks, masks, offsets))
+        carry, _ = jax.lax.scan(body, init_topk(B, k), (chunks, offsets))
         return carry
 
     @partial(jax.jit, static_argnums=0)
@@ -204,6 +213,16 @@ class CatalogScorer:
             method='score_from_towers')
         return flat.reshape(B, C)
 
+    @staticmethod
+    def _seen_pad(h: int) -> int:
+        """Round the seen-list width up to limit distinct compile shapes."""
+        if h == 0:
+            return 0
+        size = 32
+        while size < h:
+            size *= 2
+        return size
+
     # --------------------------------------------------------------- user API
     def top_k(self, user_indices: np.ndarray, k: int,
               seen_mask: Optional[np.ndarray] = None
@@ -218,14 +237,28 @@ class CatalogScorer:
         for s in range(0, len(user_indices), self.user_chunk):
             users = user_indices[s:s + self.user_chunk]
             B = len(users)
-            invalid = np.broadcast_to(self._pad_mask, (B, self.n_pad)).copy()
-            if seen_mask is not None:
-                invalid[:, :self.n_items] |= seen_mask[s:s + self.user_chunk]
             if self._head is not None:
+                # Compact seen-lists [B, H] padded with -1 (H static per
+                # scorer via _seen_pad for compile-cache stability).
+                if seen_mask is not None:
+                    block = seen_mask[s:s + self.user_chunk]
+                    rows = [np.flatnonzero(r) for r in block]
+                    H = max((len(r) for r in rows), default=0)
+                    H = self._seen_pad(H)
+                    seen = np.full((B, H), -1, dtype=np.int32)
+                    for bi, r in enumerate(rows):
+                        seen[bi, :len(r)] = r
+                else:
+                    seen = np.zeros((B, 0), dtype=np.int32)
                 v, i = self._topk_scan_fast(
                     self.variables, self._item_first, jnp.asarray(users),
-                    jnp.asarray(invalid), k)
+                    jnp.asarray(seen), k)
             else:
+                invalid = np.broadcast_to(self._pad_mask,
+                                          (B, self.n_pad)).copy()
+                if seen_mask is not None:
+                    invalid[:, :self.n_items] |= \
+                        seen_mask[s:s + self.user_chunk]
                 v, i = self._topk_scan(
                     self.variables, self._item_feats, jnp.asarray(users),
                     jnp.asarray(invalid), k)
