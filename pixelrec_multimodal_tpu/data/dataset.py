@@ -294,6 +294,17 @@ class MultimodalDataset:
                     tables['clip_text_attention_mask'][items]
             yield batch
 
+    def stacked_batches(self, batch_size: int, shuffle: bool = True,
+                        seed: int = 0) -> Dict[str, np.ndarray]:
+        """All of an epoch's batches stacked: dict of [num_batches, B, ...].
+
+        Feeds the compiled whole-epoch scan (training/steps.py train_epoch).
+        Batches are index triples, so a full epoch is a few MB regardless of
+        modality configuration.
+        """
+        batches = list(self.batches(batch_size, shuffle=shuffle, seed=seed))
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
     def num_batches(self, batch_size: int, drop_remainder: bool = False) -> int:
         n = len(self)
         return n // batch_size if drop_remainder else -(-n // batch_size)

@@ -101,8 +101,11 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
                   bce_weight: float = 1.0,
                   contrastive_weight: float = 0.1,
                   use_contrastive: Optional[bool] = None,
-                  extra_features_fn: Optional[Callable] = None):
-    """Build jitted (train_step, eval_step) closures over model + tables.
+                  extra_features_fn: Optional[Callable] = None,
+                  return_epoch_fns: bool = False):
+    """Build jitted (train_step, eval_step) closures over model + tables;
+    with ``return_epoch_fns`` also (train_epoch, eval_epoch) that run a whole
+    epoch of stacked batches in one compiled scan.
 
     ``extra_features_fn(batch) -> kwargs`` lets end-to-end (unfrozen encoder)
     training inject pixel/token-derived features; default is table gathers.
@@ -177,7 +180,40 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
             **_classification_sums(scores.squeeze(-1), batch['label'], weight),
         }
 
-    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+    def train_epoch(state: TrainState, batches: Dict[str, jnp.ndarray], rng):
+        """A WHOLE epoch as one compiled program.
+
+        ``batches``: dict of arrays with a leading [num_batches] axis (cheap —
+        training batches are index triples, so an epoch of batches is a few
+        MB). The scan keeps optimizer state on device for the entire epoch;
+        the host sees one metrics transfer per epoch instead of one per step.
+        This is only possible because of the table-based data design — the
+        reference's per-batch host collate forces a host round-trip per step.
+
+        Per-batch metric sums are returned stacked ([num_batches]) so the
+        host can reproduce the reference's skip-non-finite-batch accounting
+        (trainer.py:394-412) exactly.
+        """
+        def body(carry, batch):
+            st, step_rng = carry
+            step_rng, use = jax.random.split(step_rng)
+            st, metrics = train_step(st, batch, use)
+            return (st, step_rng), metrics
+
+        (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
+        return state, metrics
+
+    def eval_epoch(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        """Whole-epoch validation as one compiled program."""
+        def body(carry, batch):
+            return carry, eval_step(state, batch)
+
+        _, metrics = jax.lax.scan(body, None, batches)
+        return metrics
+
+    fns = (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step),
+           jax.jit(train_epoch, donate_argnums=(0,)), jax.jit(eval_epoch))
+    return fns[:2] if not return_epoch_fns else fns
 
 
 def init_train_state(model, tx, rng, batch_size: int = 2,

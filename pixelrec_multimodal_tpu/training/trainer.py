@@ -60,7 +60,7 @@ class Trainer:
                  checkpoint_dir: str = 'models/checkpoints',
                  use_contrastive: bool = True,
                  trial_info: Optional[Dict[str, Any]] = None,
-                 mesh=None, seed: int = 0):
+                 mesh=None, seed: int = 0, compiled_epochs: bool = True):
         self.model = model
         self.config = config
         self.mesh = mesh
@@ -82,6 +82,9 @@ class Trainer:
 
         self.use_contrastive = use_contrastive
         self.trial_info = trial_info
+        # Whole-epoch compiled scans (one device call per epoch). Possible
+        # because batches are index triples gathered against device tables.
+        self.compiled_epochs = compiled_epochs
         self.epoch = 0
         self.patience_counter = 0
         self.best_early_stopping_score: Optional[float] = None
@@ -120,12 +123,15 @@ class Trainer:
         if self.config is not None:
             cw = self.config.training.contrastive_weight
             bw = self.config.training.bce_weight
-        train_step, eval_step = make_step_fns(
+        train_step, eval_step, train_epoch, eval_epoch = make_step_fns(
             self.model, tables,
             bce_weight=1.0 if bw is None else bw,
             contrastive_weight=0.1 if cw is None else cw,
-            use_contrastive=self.use_contrastive)
+            use_contrastive=self.use_contrastive,
+            return_epoch_fns=True)
         self._eval_step = eval_step
+        self._train_epoch_fn = train_epoch if self.compiled_epochs else None
+        self._eval_epoch_fn = eval_epoch if self.compiled_epochs else None
 
         train_losses: List[float] = []
         val_losses: List[float] = []
@@ -197,6 +203,10 @@ class Trainer:
     # ------------------------------------------------------------ inner loops
     def _run_epoch(self, step_fn, dataset, batch_size: int, epoch: int,
                    dropout_rng, training: bool) -> Dict[str, float]:
+        epoch_fn = self._train_epoch_fn if training else self._eval_epoch_fn
+        if epoch_fn is not None:
+            return self._run_epoch_compiled(epoch_fn, dataset, batch_size,
+                                            epoch, dropout_rng, training)
         loss_sums = {'total_loss': 0.0, 'bce_loss': 0.0, 'contrastive_loss': 0.0}
         sums = {'correct': 0.0, 'tp': 0.0, 'fp': 0.0, 'fn': 0.0, 'count': 0.0}
         valid_batches = 0
@@ -225,6 +235,41 @@ class Trainer:
                       "non-finite loss (NaN or Inf).")
                 sums['count'] += float(metrics['count'])
         return _finalize_epoch_metrics(loss_sums, valid_batches, sums)
+
+    def _run_epoch_compiled(self, epoch_fn, dataset, batch_size: int,
+                            epoch: int, dropout_rng, training: bool
+                            ) -> Dict[str, float]:
+        """One compiled scan for the whole epoch; one metrics transfer."""
+        stacked = dataset.stacked_batches(batch_size, shuffle=training,
+                                          seed=self.seed + epoch)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            # Leading axis is the scan (batch-count) axis; shard axis 1.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            stacked = {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        if training:
+            rng = jax.random.fold_in(dropout_rng, epoch)
+            self.state, metrics = epoch_fn(self.state, stacked, rng)
+        else:
+            metrics = epoch_fn(self.state, stacked)
+        metrics = jax.device_get(metrics)
+
+        # Reproduce per-batch accounting: skip non-finite batches.
+        totals = np.asarray(metrics['total_loss'])
+        finite = np.isfinite(totals)
+        n_valid = int(finite.sum())
+        if n_valid < len(totals):
+            print(f"WARNING: {len(totals) - n_valid} batches skipped due to "
+                  "non-finite loss (NaN or Inf).")
+        loss_sums = {k: float(np.asarray(metrics[k])[finite].sum())
+                     for k in ('total_loss', 'bce_loss', 'contrastive_loss')}
+        sums = {k: float(np.asarray(metrics[k])[finite].sum())
+                for k in ('correct', 'tp', 'fp', 'fn', 'count')}
+        sums['count'] += float(np.asarray(metrics['count'])[~finite].sum())
+        return _finalize_epoch_metrics(loss_sums, n_valid, sums)
 
     # --------------------------------------------------------- early stopping
     def _monitor_name(self) -> str:
