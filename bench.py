@@ -28,7 +28,7 @@ from pathlib import Path
 import numpy as np
 
 N_ITEMS = 65536
-N_USERS = 256
+N_USERS = 1024
 TOP_K = 50
 EMB = 64
 VISION_DIM = 2048
@@ -82,7 +82,7 @@ def bench_tpu() -> float:
         train=False)
 
     scorer = CatalogScorer(model, variables, store,
-                           item_chunk=8192, user_chunk=256)
+                           item_chunk=8192, user_chunk=1024)
     users = rng.integers(0, 4096, N_USERS).astype(np.int32)
 
     log("warmup/compile...")
