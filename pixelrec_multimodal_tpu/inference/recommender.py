@@ -135,3 +135,17 @@ class Recommender:
     def _get_user_interactions(self, user_id: str) -> set:
         """Original-id history set (reference recommender.py:271-280)."""
         return self.dataset.get_user_history(str(user_id))
+
+    # ------------------------------------------------- cache API (parity)
+    def print_cache_stats(self):
+        """Feature-tier statistics (reference recommender.py:282-287; here
+        the 'cache' is the device-resident feature store)."""
+        stats = self.dataset.feature_store.get_stats()
+        print(f"Feature store image tier: {stats['memory_items']} items, "
+              f"hit rate {stats['hit_rate']:.2f}")
+        print(f"Packed tables: {sorted(self.dataset.feature_store.tables)}")
+
+    def clear_cache(self):
+        """Clear the lazy image tier (packed tables are immutable)."""
+        self.dataset.feature_store._image_cache.clear()
+        print("Feature cache cleared")

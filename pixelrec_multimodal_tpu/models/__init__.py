@@ -5,6 +5,11 @@ from .layers import (  # noqa: F401
     GatedFusionLayer,
 )
 from .losses import contrastive_loss, l2_normalize, recommender_loss  # noqa: F401
+from .end_to_end import (  # noqa: F401
+    EndToEndRecommender,
+    build_end_to_end_model,
+    trainable_mask,
+)
 from .multimodal import (  # noqa: F401
     MultimodalRecommender,
     PretrainedMultimodalRecommender,
