@@ -98,9 +98,12 @@ def precompute_embedding_tables(store, config, batch_size: int = 64,
         params = params_or_random(
             'language', language_key, model,
             (ids_t[:1].astype(np.int32), mask_t[:1].astype(np.int32)))
-        pooled_fn = jax.jit(
-            lambda ids, mask: model.apply({'params': params}, ids, mask,
-                                          method='pooled'))
+        # Params go through the jit boundary as an argument (not a closure
+        # capture) so they are not baked into the compile payload.
+        jit_pooled = jax.jit(
+            lambda p, ids, mask: model.apply({'params': p}, ids, mask,
+                                             method='pooled'))
+        pooled_fn = lambda ids, mask: jit_pooled(params, ids, mask)
         t0 = time.time()
         table = _batched_pooled(
             pooled_fn, [], n, pooled_dim('language', language_key),
@@ -120,13 +123,14 @@ def precompute_embedding_tables(store, config, batch_size: int = 64,
         mean = jnp.asarray(spec.mean, jnp.float32).reshape(1, 1, 1, 3)
         std = jnp.asarray(spec.std, jnp.float32).reshape(1, 1, 1, 3)
 
-        def forward(frames_u8):
+        def forward(p, frames_u8):
             # Device-side normalize: uint8 HWC -> normalized CHW float.
             x = frames_u8.astype(jnp.float32) / 255.0
             x = ((x - mean) / std).transpose(0, 3, 1, 2)
-            return model.apply({'params': params}, x, method='pooled')
+            return model.apply({'params': p}, x, method='pooled')
 
-        pooled_fn = jax.jit(forward)
+        jit_forward = jax.jit(forward)
+        pooled_fn = lambda frames: jit_forward(params, frames)
         t0 = time.time()
         table = _batched_pooled(
             pooled_fn, [], n, pooled_dim('vision', vision_key),
@@ -143,9 +147,10 @@ def precompute_embedding_tables(store, config, batch_size: int = 64,
         mask_t = store.tables['clip_text_attention_mask']
         params = params_or_random(
             'clip_text', 'clip', model, (ids_t[:1].astype(np.int32),))
-        pooled_fn = jax.jit(
-            lambda ids, mask: model.apply({'params': params}, ids, mask,
-                                          method='pooled'))
+        jit_pooled = jax.jit(
+            lambda p, ids, mask: model.apply({'params': p}, ids, mask,
+                                             method='pooled'))
+        pooled_fn = lambda ids, mask: jit_pooled(params, ids, mask)
         t0 = time.time()
         table = _batched_pooled(
             pooled_fn, [], n, pooled_dim('clip_text', 'clip'),

@@ -31,7 +31,7 @@ def make_e2e_step_fns(model, tables: Dict[str, jnp.ndarray],
     scorer = model.scorer
     contrastive = scorer.contrastive_active
 
-    def forward(params, batch_stats, batch, rng, train: bool):
+    def forward(params, batch_stats, tables_in, batch, rng, train: bool):
         it = batch['item_idx']
         kw = {}
         for key in ('image', 'text_input_ids', 'text_attention_mask',
@@ -40,7 +40,7 @@ def make_e2e_step_fns(model, tables: Dict[str, jnp.ndarray],
                 kw[key] = batch[key]
         if scorer.num_numerical_features > 0:
             if 'numerical' in tables:
-                kw['numerical_features'] = jnp.take(tables['numerical'], it,
+                kw['numerical_features'] = jnp.take(tables_in['numerical'], it,
                                                     axis=0)
             else:
                 kw['numerical_features'] = jnp.zeros(
@@ -78,10 +78,11 @@ def make_e2e_step_fns(model, tables: Dict[str, jnp.ndarray],
             weight=batch.get('weight'))
         return scores, loss, new_stats
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, tables_in, batch, rng):
         def loss_fn(params):
             scores, loss, new_stats = forward(params, state.batch_stats,
-                                              batch, rng, train=True)
+                                              tables_in, batch, rng,
+                                              train=True)
             return loss['total'], (scores, loss, new_stats)
 
         grads, (scores, loss, new_stats) = jax.grad(
@@ -103,9 +104,9 @@ def make_e2e_step_fns(model, tables: Dict[str, jnp.ndarray],
         }
         return new_state, metrics
 
-    def eval_step(state: TrainState, batch):
-        scores, loss, _ = forward(state.params, state.batch_stats, batch,
-                                  rng=None, train=False)
+    def eval_step(state: TrainState, tables_in, batch):
+        scores, loss, _ = forward(state.params, state.batch_stats, tables_in,
+                                  batch, rng=None, train=False)
         weight = batch.get('weight', jnp.ones_like(batch['label']))
         return {
             'total_loss': loss['total'], 'bce_loss': loss['bce'],
@@ -113,7 +114,10 @@ def make_e2e_step_fns(model, tables: Dict[str, jnp.ndarray],
             **_classification_sums(scores.squeeze(-1), batch['label'], weight),
         }
 
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(eval_step)
+    return (lambda state, batch, rng: jit_train(state, tables, batch, rng),
+            lambda state, batch: jit_eval(state, tables, batch))
 
 
 def init_e2e_train_state(model, tx, rng, batch_size: int = 2,

@@ -115,8 +115,8 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
     contrastive = (model.contrastive_active if use_contrastive is None
                    else use_contrastive and model.contrastive_active)
 
-    def forward(params, batch_stats, batch, rng, train: bool):
-        kw = gather_feature_kwargs(model, tables, batch)
+    def forward(params, batch_stats, tables_in, batch, rng, train: bool):
+        kw = gather_feature_kwargs(model, tables_in, batch)
         if extra_features_fn is not None:
             kw.update(extra_features_fn(batch))
         variables = {'params': params}
@@ -144,10 +144,11 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
             bce_weight=bce_weight, weight=batch.get('weight'))
         return scores, loss, new_stats
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+    def train_step(state: TrainState, tables_in, batch, rng):
         def loss_fn(params):
-            scores, loss, new_stats = forward(params, state.batch_stats, batch,
-                                              rng, train=True)
+            scores, loss, new_stats = forward(params, state.batch_stats,
+                                              tables_in, batch, rng,
+                                              train=True)
             return loss['total'], (scores, loss, new_stats)
 
         grads, (scores, loss, new_stats) = jax.grad(
@@ -170,9 +171,9 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
         }
         return new_state, metrics
 
-    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        scores, loss, _ = forward(state.params, state.batch_stats, batch,
-                                  rng=None, train=False)
+    def eval_step(state: TrainState, tables_in, batch):
+        scores, loss, _ = forward(state.params, state.batch_stats, tables_in,
+                                  batch, rng=None, train=False)
         weight = batch.get('weight', jnp.ones_like(batch['label']))
         return {
             'total_loss': loss['total'], 'bce_loss': loss['bce'],
@@ -180,7 +181,7 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
             **_classification_sums(scores.squeeze(-1), batch['label'], weight),
         }
 
-    def train_epoch(state: TrainState, batches: Dict[str, jnp.ndarray], rng):
+    def train_epoch(state: TrainState, tables_in, batches, rng):
         """A WHOLE epoch as one compiled program.
 
         ``batches``: dict of arrays with a leading [num_batches] axis (cheap —
@@ -197,22 +198,34 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
         def body(carry, batch):
             st, step_rng = carry
             step_rng, use = jax.random.split(step_rng)
-            st, metrics = train_step(st, batch, use)
+            st, metrics = train_step(st, tables_in, batch, use)
             return (st, step_rng), metrics
 
         (state, _), metrics = jax.lax.scan(body, (state, rng), batches)
         return state, metrics
 
-    def eval_epoch(state: TrainState, batches: Dict[str, jnp.ndarray]):
+    def eval_epoch(state: TrainState, tables_in, batches):
         """Whole-epoch validation as one compiled program."""
         def body(carry, batch):
-            return carry, eval_step(state, batch)
+            return carry, eval_step(state, tables_in, batch)
 
         _, metrics = jax.lax.scan(body, None, batches)
         return metrics
 
-    fns = (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step),
-           jax.jit(train_epoch, donate_argnums=(0,)), jax.jit(eval_epoch))
+    # Route the (potentially huge) feature tables through the jit boundary
+    # as arguments rather than closure captures: captured device arrays are
+    # baked into the executable as constants (duplicating HBM, and on
+    # remote-compile backends shipped inside the compile request).
+    jit_train_step = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval_step = jax.jit(eval_step)
+    jit_train_epoch = jax.jit(train_epoch, donate_argnums=(0,))
+    jit_eval_epoch = jax.jit(eval_epoch)
+
+    fns = (lambda state, batch, rng: jit_train_step(state, tables, batch, rng),
+           lambda state, batch: jit_eval_step(state, tables, batch),
+           lambda state, batches, rng: jit_train_epoch(state, tables,
+                                                       batches, rng),
+           lambda state, batches: jit_eval_epoch(state, tables, batches))
     return fns[:2] if not return_epoch_fns else fns
 
 
