@@ -81,6 +81,10 @@ class TrainingConfig:
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_eps: float = 1e-8
+    # Micro-batches per optimizer update (the reference README advertises
+    # gradient accumulation, README.md:310-315, but its trainer never
+    # implemented it; here it is real via optax.MultiSteps).
+    gradient_accumulation_steps: int = 1
 
 
 @dataclass

@@ -10,3 +10,10 @@ from .search import (  # noqa: F401
     TrialState,
     create_study,
 )
+from .visualization import (  # noqa: F401
+    compute_param_importances,
+    plot_optimization_history,
+    plot_parallel_coordinate,
+    plot_param_importances,
+    save_study_visualizations,
+)

@@ -78,6 +78,59 @@ class Recommender:
             out.append((str(self.dataset.item_encoder.classes_[i]), float(v)))
         return out
 
+    def get_diverse_recommendations(self, user_id: str, top_k: int = 10,
+                                    diversity_weight: float = 0.3,
+                                    filter_seen: bool = True,
+                                    pool_size: Optional[int] = None
+                                    ) -> List[Tuple[str, float]]:
+        """Diversity-aware top-K via maximal marginal relevance (MMR).
+
+        The reference advertises this through ``--use_diversity`` but never
+        implemented it (reference generate_recommendations.py:192-208 falls
+        back to standard recommendations); here it works. Procedure:
+        retrieve a relevance-ranked candidate pool from the catalog scorer,
+        then greedily select items maximizing
+        ``(1 - w) * relevance - w * max_similarity_to_selected`` where
+        similarity is cosine over the item-side modality representations the
+        scorer already holds on device. Returned scores are the model's
+        relevance scores, in MMR order.
+        """
+        if not 0.0 <= diversity_weight <= 1.0:
+            raise ValueError(
+                f"diversity_weight must be in [0, 1], got {diversity_weight}")
+        pool = pool_size or max(top_k * 5, 100)
+        pool = min(pool, self.dataset.n_items)
+        ranked = self.get_recommendations(str(user_id), top_k=pool,
+                                          filter_seen=filter_seen)
+        if len(ranked) <= 1 or diversity_weight == 0.0:
+            return ranked[:top_k]
+
+        item_ids = [iid for iid, _ in ranked]
+        rel = np.asarray([s for _, s in ranked], dtype=np.float32)
+        cand = self.dataset.item_encoder.transform(item_ids)
+        # Item-side modality embeddings (already computed for scoring):
+        # [pool, M, D] -> flattened, L2-normalized -> cosine similarities.
+        emb = np.array(self.scorer._item_feats[np.asarray(cand)],
+                       dtype=np.float32).reshape(len(cand), -1)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
+        sim = emb @ emb.T
+
+        span = float(rel.max() - rel.min()) or 1.0
+        rel_norm = (rel - rel.min()) / span
+        w = diversity_weight
+        selected: List[int] = [0]  # most relevant item always leads
+        remaining = set(range(1, len(cand)))
+        while remaining and len(selected) < top_k:
+            best_j, best_score = -1, -np.inf
+            for j in remaining:
+                penalty = max(sim[j, s] for s in selected)
+                score = (1.0 - w) * rel_norm[j] - w * penalty
+                if score > best_score:
+                    best_j, best_score = j, score
+            selected.append(best_j)
+            remaining.discard(best_j)
+        return [(item_ids[j], float(rel[j])) for j in selected]
+
     def get_item_score(self, user_id: str, item_id: str) -> float:
         """Predicted score for one pair; 0.0 for unknown user/item
         (reference recommender.py:112-141)."""

@@ -23,13 +23,20 @@ def build_optimizer(optimizer_type: str = 'adamw',
                     adam_beta1: float = 0.9,
                     adam_beta2: float = 0.999,
                     adam_eps: float = 1e-8,
-                    gradient_clip: Optional[float] = 1.0
+                    gradient_clip: Optional[float] = 1.0,
+                    gradient_accumulation_steps: int = 1
                     ) -> optax.GradientTransformation:
     """Global-norm clip -> optimizer, with a host-mutable learning rate.
 
     torch semantics preserved: AdamW decouples weight decay; Adam and SGD fold
     ``weight_decay`` into the gradient as an L2 penalty before the update;
     SGD uses momentum 0.9 (reference trainer.py:122-130).
+
+    ``gradient_accumulation_steps`` > 1 wraps the whole chain in
+    ``optax.MultiSteps``: gradients average over k micro-batches and the
+    update (including clipping, measured on the averaged gradient) applies
+    every k-th step — the feature the reference README advertises
+    (README.md:310-315) without implementing.
     """
     kind = optimizer_type.lower()
     if kind == 'adamw':
@@ -55,8 +62,12 @@ def build_optimizer(optimizer_type: str = 'adamw',
             learning_rate=learning_rate, weight_decay=weight_decay)
 
     if gradient_clip is not None and gradient_clip > 0:
-        return optax.chain(optax.clip_by_global_norm(gradient_clip), inner)
-    return optax.chain(optax.identity(), inner)
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clip), inner)
+    else:
+        tx = optax.chain(optax.identity(), inner)
+    if gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+    return tx
 
 
 def with_frozen(tx: optax.GradientTransformation,
@@ -85,6 +96,8 @@ def _find_inject(node):
         return node
     if hasattr(node, 'inner_state'):
         return _find_inject(node.inner_state)
+    if hasattr(node, 'inner_opt_state'):  # optax.MultiStepsState
+        return _find_inject(node.inner_opt_state)
     if isinstance(node, (tuple, list)):
         for child in node:
             found = _find_inject(child)
@@ -113,7 +126,11 @@ def set_learning_rate(opt_state, lr: float):
             return node._replace(hyperparams=hp)
         if hasattr(node, 'inner_state'):
             return node._replace(inner_state=rebuild(node.inner_state))
+        if hasattr(node, 'inner_opt_state'):  # optax.MultiStepsState
+            return node._replace(inner_opt_state=rebuild(node.inner_opt_state))
         if isinstance(node, tuple):
+            if hasattr(node, '_fields'):  # preserve NamedTuple states
+                return type(node)(*(rebuild(c) for c in node))
             return tuple(rebuild(c) for c in node)
         if isinstance(node, list):
             return [rebuild(c) for c in node]

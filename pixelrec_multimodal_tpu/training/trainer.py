@@ -105,10 +105,12 @@ class Trainer:
               lr_scheduler_patience: int = 2, lr_scheduler_factor: float = 0.5,
               lr_scheduler_min_lr: float = 1e-6,
               batch_size: int = 64,
+              gradient_accumulation_steps: int = 1,
               ) -> Tuple[List[float], List[float]]:
         """Run the epoch loop; returns (train_losses, val_losses)."""
         tx = build_optimizer(optimizer_type, lr, weight_decay, adam_beta1,
-                             adam_beta2, adam_eps, gradient_clip)
+                             adam_beta2, adam_eps, gradient_clip,
+                             gradient_accumulation_steps)
         rng = jax.random.PRNGKey(self.seed)
         if self.state is None:
             self.state = init_train_state(self.model, tx, rng)
@@ -211,12 +213,16 @@ class Trainer:
         sums = {'correct': 0.0, 'tp': 0.0, 'fp': 0.0, 'fn': 0.0, 'count': 0.0}
         valid_batches = 0
 
-        for bidx, batch in enumerate(
-                dataset.batches(batch_size, shuffle=training,
-                                seed=self.seed + epoch)):
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-                batch = shard_batch(batch, self.mesh)
+        from ..data.loader import PrefetchLoader
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
+        loader = PrefetchLoader(
+            dataset.batches(batch_size, shuffle=training,
+                            seed=self.seed + epoch),
+            prefetch=2, sharding=sharding)
+        for bidx, batch in enumerate(loader):
             if training:
                 step_rng = jax.random.fold_in(dropout_rng, epoch * 100000 + bidx)
                 self.state, metrics = step_fn(self.state, batch, step_rng)

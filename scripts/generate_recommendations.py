@@ -3,11 +3,11 @@
 
 Parity target: /root/reference/scripts/generate_recommendations.py:28-310 —
 load model + data + encoders, resolve target users (CLI list / file / random
-sample / first-5 default), generate per-user top-K with filter-seen, optional
-diversity branch with graceful fallback (the reference's
-``get_diverse_recommendations`` is unimplemented and falls back to standard
-recommendations, :192-212), write a JSON report. The generation itself is one
-batched device pass over all requested users.
+sample / first-5 default), generate per-user top-K with filter-seen, write a
+JSON report. The generation itself is one batched device pass over all
+requested users. The ``--use_diversity`` branch is actually implemented here
+(MMR reranking); the reference only advertises it and silently falls back
+(:192-212).
 """
 from __future__ import annotations
 
@@ -113,6 +113,9 @@ def main(cli_args=None):
                              'dataset.')
     parser.add_argument('--use_diversity', action='store_true',
                         help='Use a diversity-aware recommendation algorithm.')
+    parser.add_argument('--diversity_weight', type=float, default=0.3,
+                        help='MMR trade-off: 0 = pure relevance, '
+                             '1 = pure diversity (default 0.3).')
     parser.add_argument('--output', type=str, default='recommendations.json',
                         help='Name of the output JSON file.')
     parser.add_argument('--device', type=str, default=None,
@@ -120,6 +123,9 @@ def main(cli_args=None):
     parser.add_argument('--checkpoint_name', type=str, default='best_model',
                         help='Checkpoint to load.')
     args = parser.parse_args(cli_args)
+    if not 0.0 <= args.diversity_weight <= 1.0:
+        parser.error(f"--diversity_weight must be in [0, 1], "
+                     f"got {args.diversity_weight}")
 
     if args.device:
         import jax
@@ -136,15 +142,23 @@ def main(cli_args=None):
           f"filter_seen={config.recommendation.filter_seen})")
 
     if args.use_diversity:
-        # Diversity-aware reranking is advertised but unimplemented in the
-        # reference (generate_recommendations.py:192-212); same graceful
-        # fallback to standard recommendations.
-        print("Warning: diversity-aware recommendations not implemented; "
-              "falling back to standard recommendations.")
-
-    recs = recommender.get_recommendations_batch(
-        users, top_k=config.recommendation.top_k,
-        filter_seen=config.recommendation.filter_seen)
+        # The reference advertises this flag but never implemented it
+        # (reference generate_recommendations.py:192-212, silent fallback);
+        # here it is real: MMR reranking over the scorer's item
+        # representations (inference/recommender.py).
+        print(f"Using diversity-aware MMR reranking "
+              f"(diversity_weight={args.diversity_weight})")
+        recs = {
+            u: recommender.get_diverse_recommendations(
+                u, top_k=config.recommendation.top_k,
+                diversity_weight=args.diversity_weight,
+                filter_seen=config.recommendation.filter_seen)
+            for u in users
+        }
+    else:
+        recs = recommender.get_recommendations_batch(
+            users, top_k=config.recommendation.top_k,
+            filter_seen=config.recommendation.filter_seen)
 
     output = {
         'metadata': {

@@ -359,6 +359,7 @@ def main(cli_args=None):
         Path(args.output_dir) / 'study_results.json', orient='records',
         indent=2)
 
+    wrote_viz = False
     if _BACKEND == 'optuna':
         try:
             import optuna.visualization as vis
@@ -370,6 +371,20 @@ def main(cli_args=None):
             vis.plot_parallel_coordinate(study).write_html(
                 Path(args.output_dir) / 'parallel_coordinate.html')
             print(f"\nVisualizations saved to {args.output_dir}")
+            wrote_viz = True
+        except Exception as e:
+            print(f"\nWarning: Could not generate plotly visualizations: {e}")
+    if not wrote_viz:
+        # Native matplotlib fallback: same three diagnostics as PNGs
+        # (reference writes plotly HTMLs; plotly/optuna may be absent here).
+        try:
+            from pixelrec_multimodal_tpu.hpo.visualization import (
+                save_study_visualizations)
+            written = save_study_visualizations(
+                study, args.output_dir, metric_name=args.optimize_metric)
+            if written:
+                print(f"\nVisualizations saved: "
+                      f"{', '.join(Path(p).name for p in written)}")
         except Exception as e:
             print(f"\nWarning: Could not generate visualizations: {e}")
 

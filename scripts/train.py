@@ -291,7 +291,9 @@ def run_training(config: Config, args: argparse.Namespace) -> Dict[str, Any]:
         lr_scheduler_patience=training_config.lr_scheduler_patience,
         lr_scheduler_factor=training_config.lr_scheduler_factor,
         lr_scheduler_min_lr=training_config.lr_scheduler_min_lr,
-        batch_size=training_config.batch_size)
+        batch_size=training_config.batch_size,
+        gradient_accumulation_steps=getattr(
+            training_config, 'gradient_accumulation_steps', 1))
     training_time = time.time() - training_start
 
     import math

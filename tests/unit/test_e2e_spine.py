@@ -176,6 +176,37 @@ class TestRecommender:
             s = trained.get_item_score('u2', item_id)
             np.testing.assert_allclose(s, score, rtol=1e-4, atol=1e-5)
 
+    def test_diverse_recommendations_mmr(self, trained):
+        plain = trained.get_recommendations('u0', top_k=5, filter_seen=False)
+        diverse = trained.get_diverse_recommendations(
+            'u0', top_k=5, diversity_weight=0.5, filter_seen=False)
+        assert len(diverse) == 5
+        # Scores are the model's relevance scores for those items.
+        for item_id, score in diverse:
+            np.testing.assert_allclose(
+                trained.get_item_score('u0', item_id), score,
+                rtol=1e-4, atol=1e-5)
+        # Most relevant item always leads; no duplicates.
+        assert diverse[0][0] == plain[0][0]
+        assert len({i for i, _ in diverse}) == 5
+
+    def test_diverse_weight_zero_is_plain_topk(self, trained):
+        plain = trained.get_recommendations('u1', top_k=4, filter_seen=False)
+        diverse = trained.get_diverse_recommendations(
+            'u1', top_k=4, diversity_weight=0.0, filter_seen=False)
+        assert [i for i, _ in diverse] == [i for i, _ in plain]
+
+    def test_diverse_respects_filter_seen(self, trained):
+        seen = trained.dataset.get_user_history('u2')
+        diverse = trained.get_diverse_recommendations(
+            'u2', top_k=10, diversity_weight=0.4, filter_seen=True)
+        assert not ({i for i, _ in diverse} & seen)
+
+    def test_diverse_rejects_bad_weight(self, trained):
+        with pytest.raises(ValueError):
+            trained.get_diverse_recommendations('u0', diversity_weight=1.5)
+        assert trained.get_diverse_recommendations('nobody', top_k=3) == []
+
     def test_full_matrix_consistency(self, trained):
         """score_full agrees with the streaming top-k result."""
         uidx = trained.dataset.user_encoder.transform(['u3'])
