@@ -1,0 +1,227 @@
+"""More exact-output parity vs the ACTUAL reference implementation:
+
+* LR scheduler trajectories vs the torch schedulers the reference factory
+  builds (reference src/training/trainer.py:132-163).
+* Combined loss values vs MultimodalRecommenderLoss / ContrastiveLoss
+  (reference src/models/losses.py:16-174).
+* TopKRankingEvaluator results vs the reference evaluator on identical
+  deterministic scores (reference src/evaluation/tasks.py:750-932).
+
+Same import strategy as test_reference_parity.py (reference modules loaded
+from /root/reference with absent deps stubbed).
+"""
+import sys
+import types
+import importlib.machinery
+import unittest.mock as _mock
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE = Path('/root/reference')
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
+                                reason='reference checkout not available')
+
+if REFERENCE.exists() and str(REFERENCE) not in sys.path:
+    sys.path.insert(0, str(REFERENCE))
+
+for _name in ('torchvision', 'torchvision.transforms', 'wandb', 'optuna'):
+    if _name not in sys.modules:
+        mod = types.ModuleType(_name)
+        mod.__getattr__ = lambda name, _m=_mock.MagicMock(): _m
+        mod.__spec__ = importlib.machinery.ModuleSpec(_name, loader=None)
+        sys.modules[_name] = mod
+if not hasattr(sys.modules['torchvision'], 'transforms'):
+    sys.modules['torchvision'].transforms = sys.modules[
+        'torchvision.transforms']
+
+
+# --------------------------------------------------------------- schedulers
+class TestSchedulerParity:
+    """Our host-side LRScheduler must reproduce the torch scheduler
+    trajectories the reference attaches (trainer.py:155-163)."""
+
+    BASE_LR = 0.01
+
+    def _torch_lr_trajectory(self, kind, steps, val_losses=None, **kw):
+        import torch
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=self.BASE_LR)
+        if kind == 'reduce_on_plateau':
+            sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+                opt, mode='min', patience=kw['patience'],
+                factor=kw['factor'], min_lr=kw['min_lr'])
+        elif kind == 'cosine':
+            sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+                opt, T_max=kw['total_epochs'], eta_min=kw['min_lr'])
+        else:
+            sched = torch.optim.lr_scheduler.StepLR(
+                opt, step_size=kw['patience'], gamma=kw['factor'])
+        out = []
+        for i in range(steps):
+            if kind == 'reduce_on_plateau':
+                sched.step(val_losses[i])
+            else:
+                sched.step()
+            out.append(opt.param_groups[0]['lr'])
+        return out
+
+    def _our_lr_trajectory(self, kind, steps, val_losses=None, **kw):
+        from pixelrec_multimodal_tpu.training.optimizers import LRScheduler
+        sched = LRScheduler(kind, base_lr=self.BASE_LR, **kw)
+        out = []
+        for i in range(steps):
+            out.append(sched.step(val_losses[i] if val_losses else None))
+        return out
+
+    def test_reduce_on_plateau_trajectory(self):
+        rng = np.random.default_rng(0)
+        # A loss curve with improvements, plateaus, and a late regression.
+        losses = [1.0, 0.9, 0.85, 0.85, 0.85, 0.85, 0.84, 0.84, 0.84, 0.84,
+                  0.84, 0.9, 0.95, 0.83, 0.83, 0.83, 0.83, 0.83, 0.83, 0.83]
+        losses += list(0.83 + rng.random(10) * 0.001)
+        kw = dict(patience=2, factor=0.5, min_lr=1e-5)
+        ref = self._torch_lr_trajectory('reduce_on_plateau', len(losses),
+                                        losses, **kw)
+        ours = self._our_lr_trajectory('reduce_on_plateau', len(losses),
+                                       losses, **kw)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+    def test_cosine_trajectory(self):
+        kw = dict(total_epochs=10, min_lr=1e-6)
+        ref = self._torch_lr_trajectory('cosine', 10, patience=0, **kw)
+        ours = self._our_lr_trajectory('cosine', 10, **kw)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    def test_step_trajectory(self):
+        kw = dict(patience=3, factor=0.1)
+        ref = self._torch_lr_trajectory('step', 12, min_lr=0, **kw)
+        ours = self._our_lr_trajectory('step', 12, **kw)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+# -------------------------------------------------------------------- losses
+class TestLossParity:
+    def _inputs(self, seed=0, n=16, d=8):
+        rng = np.random.default_rng(seed)
+        preds = rng.random(n).astype(np.float32)
+        labels = rng.integers(0, 2, n).astype(np.float32)
+        vis = rng.standard_normal((n, d)).astype(np.float32)
+        txt = rng.standard_normal((n, d)).astype(np.float32)
+        return preds, labels, vis, txt
+
+    def test_bce_only_exact(self):
+        import torch
+        from src.models.losses import MultimodalRecommenderLoss
+        from pixelrec_multimodal_tpu.models.losses import recommender_loss
+
+        preds, labels, _, _ = self._inputs()
+        ref = MultimodalRecommenderLoss(use_contrastive=False,
+                                        bce_weight=0.8)(
+            torch.from_numpy(preds), torch.from_numpy(labels))
+        ours = recommender_loss(preds, labels, use_contrastive=False,
+                                bce_weight=0.8)
+        np.testing.assert_allclose(float(ours['total']),
+                                   float(ref['total']), rtol=1e-5)
+        np.testing.assert_allclose(float(ours['bce']),
+                                   float(ref['bce']), rtol=1e-5)
+        assert float(ours['contrastive']) == float(ref['contrastive']) == 0.0
+
+    def test_combined_contrastive_exact(self):
+        import torch
+        from src.models.losses import MultimodalRecommenderLoss
+        from pixelrec_multimodal_tpu.models.losses import recommender_loss
+
+        preds, labels, vis, txt = self._inputs(seed=1)
+        temperature = 0.07
+        ref = MultimodalRecommenderLoss(use_contrastive=True,
+                                        contrastive_weight=0.25,
+                                        bce_weight=1.0)(
+            torch.from_numpy(preds), torch.from_numpy(labels),
+            vision_features=torch.from_numpy(vis),
+            text_features=torch.from_numpy(txt),
+            temperature=torch.tensor(temperature))
+        ours = recommender_loss(preds, labels, vision_features=vis,
+                                text_features=txt, temperature=temperature,
+                                use_contrastive=True, contrastive_weight=0.25,
+                                bce_weight=1.0)
+        for k in ('total', 'bce', 'contrastive'):
+            np.testing.assert_allclose(float(ours[k]), float(ref[k]),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_nan_contract_matches(self):
+        import torch
+        from src.models.losses import MultimodalRecommenderLoss
+        from pixelrec_multimodal_tpu.models.losses import recommender_loss
+
+        preds, labels, _, _ = self._inputs(seed=2)
+        preds[3] = np.nan
+        ref = MultimodalRecommenderLoss(use_contrastive=False)(
+            torch.from_numpy(preds), torch.from_numpy(labels))
+        ours = recommender_loss(preds, labels, use_contrastive=False)
+        assert np.isnan(float(ref['total'])) and np.isnan(float(ours['total']))
+        assert np.isnan(float(ref['bce'])) and np.isnan(float(ours['bce']))
+        assert float(ref['contrastive']) == float(ours['contrastive']) == 0.0
+
+    def test_standalone_contrastive_exact(self):
+        import torch
+        from src.models.losses import ContrastiveLoss
+        from pixelrec_multimodal_tpu.models.losses import contrastive_loss
+
+        _, _, vis, txt = self._inputs(seed=3, n=12, d=6)
+        ref = ContrastiveLoss(temperature=0.1)(
+            torch.from_numpy(vis), torch.from_numpy(txt))
+        ours = contrastive_loss(vis, txt, temperature=0.1)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=2e-5)
+
+
+# ----------------------------------------------------------- ranking parity
+class _FakeScorer:
+    """Deterministic duck-typed recommender (get_item_score only)."""
+
+    def get_item_score(self, user_id: str, item_id: str) -> float:
+        u, i = int(str(user_id)[1:]), int(str(item_id)[1:])
+        return ((u * 31 + i * 17) % 97) / 97.0
+
+
+class TestRankingEvaluatorParity:
+    def _test_data(self):
+        rng = np.random.default_rng(11)
+        rows = []
+        for u in range(12):
+            for it in rng.choice(30, size=5, replace=False):
+                rows.append((f'u{u}', f'i{it}'))
+        df = pd.DataFrame(rows, columns=['user_id', 'item_id'])
+        for col in df.columns:
+            df[col] = df[col].astype(object)
+        return df
+
+    def test_full_results_identical(self):
+        from src.evaluation.tasks import (
+            TopKRankingEvaluator as RefRankingEvaluator)
+        from src.config import Config as RefConfig
+        from pixelrec_multimodal_tpu.evaluation.tasks import (
+            TopKRankingEvaluator)
+        from pixelrec_multimodal_tpu.config import Config
+
+        df = self._test_data()
+        ref_cfg, our_cfg = RefConfig(), Config()
+        ref_cfg.recommendation.top_k = 3
+        our_cfg.recommendation.top_k = 3
+        ref = RefRankingEvaluator(_FakeScorer(), df.copy(),
+                                  ref_cfg).evaluate()
+        ours = TopKRankingEvaluator(_FakeScorer(), df.copy(),
+                                    our_cfg).evaluate()
+
+        scalar_keys = [k for k in ref if k != 'predictions']
+        assert set(scalar_keys) == {k for k in ours if k != 'predictions'}
+        for k in scalar_keys:
+            np.testing.assert_allclose(ours[k], ref[k], rtol=1e-12,
+                                       err_msg=k)
+        assert set(ours['predictions']) == set(ref['predictions'])
+        for u in ref['predictions']:
+            ref_pairs = [(i, round(s, 12)) for i, s in ref['predictions'][u]]
+            our_pairs = [(i, round(s, 12)) for i, s in ours['predictions'][u]]
+            assert sorted(our_pairs) == sorted(ref_pairs)
