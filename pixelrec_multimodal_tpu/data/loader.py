@@ -59,11 +59,14 @@ class PrefetchLoader:
         import jax
 
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        stop = threading.Event()
         err: list = []
 
         def worker():
             try:
                 for host_batch in self._batches:
+                    if stop.is_set():
+                        return
                     if self._transform is not None:
                         host_batch = self._transform(host_batch)
                     if self._sharding is not None:
@@ -72,11 +75,26 @@ class PrefetchLoader:
                     else:
                         dev = {k: jax.device_put(v)
                                for k, v in host_batch.items()}
-                    q.put(dev)
+                    # Bounded put that stays responsive to cancellation.
+                    while not stop.is_set():
+                        try:
+                            q.put(dev, timeout=0.05)
+                            break
+                        except queue.Full:
+                            pass
             except BaseException as e:  # surface in consumer thread
                 err.append(e)
             finally:
-                q.put(self._END)
+                # The END sentinel must reach a live consumer even when the
+                # queue is momentarily full; only a cancelled (draining)
+                # consumer may go without it.
+                while True:
+                    try:
+                        q.put(self._END, timeout=0.05)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True,
                              name='pixelrec-prefetch')
@@ -88,13 +106,16 @@ class PrefetchLoader:
                     break
                 yield item
         finally:
-            # Unblock the worker if the consumer stops early.
+            # Early consumer exit: tell the worker to stop after the batch
+            # in flight (no further assembly/device_put work), then drain.
+            stop.set()
             while t.is_alive():
                 try:
-                    q.get_nowait()
+                    while True:
+                        q.get_nowait()
                 except queue.Empty:
                     pass
-                t.join(timeout=0.1)
+                t.join(timeout=0.05)
         if err:
             raise err[0]
 

@@ -95,41 +95,71 @@ class Recommender:
         scorer already holds on device. Returned scores are the model's
         relevance scores, in MMR order.
         """
+        if str(user_id) not in self._user_classes:
+            print(f"Warning: User '{user_id}' not found in the trained "
+                  "user encoder.")
+            return []
+        return self.get_diverse_recommendations_batch(
+            [user_id], top_k=top_k, diversity_weight=diversity_weight,
+            filter_seen=filter_seen, pool_size=pool_size)[str(user_id)]
+
+    def get_diverse_recommendations_batch(
+            self, user_ids: List[str], top_k: int = 10,
+            diversity_weight: float = 0.3, filter_seen: bool = True,
+            pool_size: Optional[int] = None
+            ) -> Dict[str, List[Tuple[str, float]]]:
+        """MMR reranking for many users: ONE batched device pass retrieves
+        every user's relevance-ranked candidate pool, one gather fetches the
+        pooled items' representations, then the greedy MMR selection runs on
+        host (it is O(users * pool * top_k) on tiny arrays)."""
         if not 0.0 <= diversity_weight <= 1.0:
             raise ValueError(
                 f"diversity_weight must be in [0, 1], got {diversity_weight}")
         pool = pool_size or max(top_k * 5, 100)
         pool = min(pool, self.dataset.n_items)
-        ranked = self.get_recommendations(str(user_id), top_k=pool,
-                                          filter_seen=filter_seen)
-        if len(ranked) <= 1 or diversity_weight == 0.0:
-            return ranked[:top_k]
+        ranked = self.get_recommendations_batch(user_ids, top_k=pool,
+                                                filter_seen=filter_seen)
+        if diversity_weight == 0.0:
+            return {u: recs[:top_k] for u, recs in ranked.items()}
 
-        item_ids = [iid for iid, _ in ranked]
-        rel = np.asarray([s for _, s in ranked], dtype=np.float32)
-        cand = self.dataset.item_encoder.transform(item_ids)
+        # One gather for the union of pooled items across all users.
+        all_items = sorted({iid for recs in ranked.values()
+                            for iid, _ in recs})
+        if not all_items:
+            return {u: recs[:top_k] for u, recs in ranked.items()}
+        all_idx = self.dataset.item_encoder.transform(all_items)
         # Item-side modality embeddings (already computed for scoring):
-        # [pool, M, D] -> flattened, L2-normalized -> cosine similarities.
-        emb = np.array(self.scorer._item_feats[np.asarray(cand)],
-                       dtype=np.float32).reshape(len(cand), -1)
+        # [n, M, D] -> flattened, L2-normalized rows for cosine similarity.
+        emb = np.array(self.scorer._item_feats[np.asarray(all_idx)],
+                       dtype=np.float32).reshape(len(all_idx), -1)
         emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
-        sim = emb @ emb.T
+        row_of = {iid: r for r, iid in enumerate(all_items)}
 
-        span = float(rel.max() - rel.min()) or 1.0
-        rel_norm = (rel - rel.min()) / span
-        w = diversity_weight
-        selected: List[int] = [0]  # most relevant item always leads
-        remaining = set(range(1, len(cand)))
-        while remaining and len(selected) < top_k:
-            best_j, best_score = -1, -np.inf
-            for j in remaining:
-                penalty = max(sim[j, s] for s in selected)
-                score = (1.0 - w) * rel_norm[j] - w * penalty
-                if score > best_score:
-                    best_j, best_score = j, score
-            selected.append(best_j)
-            remaining.discard(best_j)
-        return [(item_ids[j], float(rel[j])) for j in selected]
+        out: Dict[str, List[Tuple[str, float]]] = {}
+        for u, recs in ranked.items():
+            if len(recs) <= 1:
+                out[u] = recs[:top_k]
+                continue
+            item_ids = [iid for iid, _ in recs]
+            rel = np.asarray([s for _, s in recs], dtype=np.float32)
+            rows = emb[[row_of[iid] for iid in item_ids]]
+            sim = rows @ rows.T
+            span = float(rel.max() - rel.min()) or 1.0
+            rel_norm = (rel - rel.min()) / span
+            w = diversity_weight
+            selected: List[int] = [0]  # most relevant item always leads
+            remaining = set(range(1, len(item_ids)))
+            while remaining and len(selected) < top_k:
+                best_j, best_score = -1, -np.inf
+                for j in remaining:
+                    penalty = max(sim[j, s] for s in selected)
+                    score = (1.0 - w) * rel_norm[j] - w * penalty
+                    if score > best_score:
+                        best_j, best_score = j, score
+                selected.append(best_j)
+                remaining.discard(best_j)
+            out[u] = [(item_ids[j], float(rel[j])) for j in selected]
+        return out
 
     def get_item_score(self, user_id: str, item_id: str) -> float:
         """Predicted score for one pair; 0.0 for unknown user/item

@@ -148,13 +148,10 @@ def main(cli_args=None):
         # representations (inference/recommender.py).
         print(f"Using diversity-aware MMR reranking "
               f"(diversity_weight={args.diversity_weight})")
-        recs = {
-            u: recommender.get_diverse_recommendations(
-                u, top_k=config.recommendation.top_k,
-                diversity_weight=args.diversity_weight,
-                filter_seen=config.recommendation.filter_seen)
-            for u in users
-        }
+        recs = recommender.get_diverse_recommendations_batch(
+            users, top_k=config.recommendation.top_k,
+            diversity_weight=args.diversity_weight,
+            filter_seen=config.recommendation.filter_seen)
     else:
         recs = recommender.get_recommendations_batch(
             users, top_k=config.recommendation.top_k,

@@ -202,6 +202,16 @@ class TestRecommender:
             'u2', top_k=10, diversity_weight=0.4, filter_seen=True)
         assert not ({i for i, _ in diverse} & seen)
 
+    def test_diverse_batch_matches_single_user(self, trained):
+        batch = trained.get_diverse_recommendations_batch(
+            ['u0', 'u3', 'nobody'], top_k=4, diversity_weight=0.5,
+            filter_seen=False)
+        assert batch['nobody'] == []
+        for u in ('u0', 'u3'):
+            single = trained.get_diverse_recommendations(
+                u, top_k=4, diversity_weight=0.5, filter_seen=False)
+            assert batch[u] == single
+
     def test_diverse_rejects_bad_weight(self, trained):
         with pytest.raises(ValueError):
             trained.get_diverse_recommendations('u0', diversity_weight=1.5)

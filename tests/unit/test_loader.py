@@ -65,8 +65,27 @@ class TestPrefetchLoader:
         t0 = time.time()
         next(it)
         next(it)
-        del it
-        assert time.time() - t0 < 5.0
+        it.close()
+        assert time.time() - t0 < 2.0
+
+    def test_early_exit_cancels_producer(self):
+        # The worker must stop assembling batches after the consumer leaves,
+        # not churn through the whole iterable into a drain loop.
+        produced = []
+
+        def counting():
+            for i, b in enumerate(_host_batches(200)):
+                produced.append(i)
+                time.sleep(0.002)
+                yield b
+
+        it = iter(PrefetchLoader(counting(), prefetch=2))
+        next(it)
+        next(it)
+        it.close()
+        time.sleep(0.1)  # let the worker observe the stop flag and exit
+        assert len(produced) < 20, (
+            f"producer ran {len(produced)} batches after early exit")
 
     def test_sharded_device_put(self):
         from pixelrec_multimodal_tpu.parallel.mesh import (
