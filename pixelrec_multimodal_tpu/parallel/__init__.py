@@ -6,6 +6,7 @@ from .mesh import (  # noqa: F401
     item_table_sharding,
     make_mesh,
     pad_to_multiple,
+    param_shardings,
     replicated,
     score_matrix_sharding,
     shard_batch,

@@ -82,3 +82,35 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of m that is >= n (and >= m)."""
     return max(m, ((n + m - 1) // m) * m)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel shardings for a Flax param tree over 'model'.
+
+    Rules (a standard Megatron-style column split, expressed as GSPMD
+    annotations — XLA inserts the all-gathers/reduce-scatters):
+
+      * embedding tables ``(vocab, dim)`` — vocab rows over 'model'
+        (user/item vocabularies are the large tensors in this workload);
+      * dense kernels ``(in, out)`` — output features over 'model';
+      * everything else (biases, norms, scalars, tiny dims) replicated.
+
+    A dimension is only sharded when it is at least the model-axis size.
+    Returns a pytree of NamedShardings matching ``params``; pass the result
+    to ``jax.device_put``. Optimizer moments inherit the layout by running
+    ``tx.init`` under jit on the sharded params (GSPMD propagation).
+    """
+    size = mesh.shape[MODEL_AXIS]
+
+    def rule(path, leaf):
+        name = getattr(path[-1], 'key', None) if path else None
+        ndim = getattr(leaf, 'ndim', 0)
+        shape = getattr(leaf, 'shape', ())
+        if size > 1 and ndim == 2:
+            if name == 'embedding' and shape[0] >= size:
+                return NamedSharding(mesh, P(MODEL_AXIS, None))
+            if name == 'kernel' and shape[1] >= size:
+                return NamedSharding(mesh, P(None, MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
