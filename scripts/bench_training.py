@@ -186,7 +186,12 @@ def bench_torch_reference_style() -> float:
 
 def main():
     baseline = bench_torch_reference_style()
-    ours = bench_ours()
+    try:
+        ours = bench_ours()
+    except Exception as e:
+        log(f"bench attempt 1 failed ({e!r}); retrying in 30s...")
+        time.sleep(30)
+        ours = bench_ours()
     print(json.dumps({
         'metric': 'train_step_samples_per_sec',
         'value': round(ours, 1),

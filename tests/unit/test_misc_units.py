@@ -203,3 +203,63 @@ class TestProfilingUtils:
             pass
         assert set(t.phases) == {'a', 'b'}
         assert 'total=' in t.summary()
+
+
+class TestLoggingUtils:
+    """utils/logging.py: numpy-safe JSON artifacts + wandb gating
+    (reference evaluate.py:430-448, trainer.py:539-558)."""
+
+    def test_numpy_json_encoder_roundtrip(self, tmp_path):
+        import json
+        from pixelrec_multimodal_tpu.utils.logging import dump_json
+        obj = {
+            'i': np.int64(3), 'f': np.float32(0.5),
+            'arr': np.arange(3), 'b': np.bool_(True),
+            'nested': {'x': [np.float64(1.5), 'str']},
+        }
+        path = tmp_path / 'sub' / 'out.json'  # parent dir auto-created
+        dump_json(obj, path)
+        back = json.loads(path.read_text())
+        assert back == {'i': 3, 'f': 0.5, 'arr': [0, 1, 2], 'b': True,
+                        'nested': {'x': [1.5, 'str']}}
+
+    def test_encoder_rejects_unknown_types(self):
+        import json
+        from pixelrec_multimodal_tpu.utils.logging import NumpyJSONEncoder
+        with pytest.raises(TypeError):
+            json.dumps({'x': object()}, cls=NumpyJSONEncoder)
+
+    def test_wandb_gating_noops_without_wandb(self):
+        from pixelrec_multimodal_tpu.utils import logging as ulog
+        if ulog.wandb_available():
+            pytest.skip('wandb installed in this environment')
+        assert ulog.maybe_wandb_init(project='x') is False
+        # Must not raise with wandb absent.
+        ulog.maybe_wandb_log({'loss': 1.0}, {'loss': float('nan')}, 0, 1e-3)
+        ulog.maybe_wandb_finish()
+
+    def test_wandb_log_filters_nan_val_metrics(self, monkeypatch):
+        from pixelrec_multimodal_tpu.utils import logging as ulog
+
+        logged = {}
+
+        class FakeRun:
+            pass
+
+        class FakeWandb:
+            run = FakeRun()
+
+            @staticmethod
+            def log(data, step=None):
+                logged.update(data)
+
+        monkeypatch.setattr(ulog, '_HAS_WANDB', True)
+        monkeypatch.setattr(ulog, 'wandb', FakeWandb)
+        ulog.maybe_wandb_log({'total_loss': 0.5},
+                             {'total_loss': float('nan'), 'f1': 0.7},
+                             epoch=3, lr=1e-4)
+        assert logged['train/total_loss'] == 0.5
+        assert 'val/total_loss' not in logged  # NaN filtered
+        assert logged['val/f1'] == 0.7
+        assert logged['epoch'] == 3
+        assert logged['train/learning_rate'] == 1e-4
