@@ -43,17 +43,32 @@ class EndToEndRecommender(nn.Module):
     language_model_name: Optional[str] = None
     use_clip_text: bool = False
     encoder_dtype: Any = jnp.float32
+    # Rematerialize encoder forwards in the backward pass (jax.checkpoint):
+    # activations of the deep towers are recomputed instead of stored,
+    # trading ~1 extra encoder forward of FLOPs for O(depth) less HBM —
+    # the standard TPU memory lever for fine-tuning with large batches.
+    remat_encoders: bool = False
+
+    def _maybe_remat(self, module: nn.Module) -> nn.Module:
+        if not self.remat_encoders:
+            return module
+        import dataclasses
+        cls = nn.remat(type(module))
+        kwargs = {f.name: getattr(module, f.name)
+                  for f in dataclasses.fields(module)
+                  if f.init and f.name not in ('parent', 'name')}
+        return cls(**kwargs)
 
     def setup(self):
         if self.vision_model_name:
-            self.vision_encoder = build_vision_encoder(
-                self.vision_model_name, dtype=self.encoder_dtype)
+            self.vision_encoder = self._maybe_remat(build_vision_encoder(
+                self.vision_model_name, dtype=self.encoder_dtype))
         if self.language_model_name:
-            self.language_encoder = build_language_encoder(
-                self.language_model_name, dtype=self.encoder_dtype)
+            self.language_encoder = self._maybe_remat(build_language_encoder(
+                self.language_model_name, dtype=self.encoder_dtype))
         if self.use_clip_text:
-            self.clip_text_encoder = build_clip_text_encoder(
-                dtype=self.encoder_dtype)
+            self.clip_text_encoder = self._maybe_remat(
+                build_clip_text_encoder(dtype=self.encoder_dtype))
 
     def __call__(self, user_idx, item_idx, tag_idx,
                  image: Optional[jnp.ndarray] = None,
@@ -86,7 +101,9 @@ class EndToEndRecommender(nn.Module):
 def build_end_to_end_model(model_config: ModelConfig, n_users: int,
                            n_items: int, n_tags: int,
                            num_numerical_features: int,
-                           encoder_dtype=jnp.float32) -> EndToEndRecommender:
+                           encoder_dtype=jnp.float32,
+                           remat_encoders: bool = False
+                           ) -> EndToEndRecommender:
     scorer = build_model(model_config, n_users, n_items, n_tags,
                          num_numerical_features)
     return EndToEndRecommender(
@@ -94,7 +111,8 @@ def build_end_to_end_model(model_config: ModelConfig, n_users: int,
         vision_model_name=model_config.vision_model,
         language_model_name=model_config.language_model,
         use_clip_text=scorer.contrastive_active,
-        encoder_dtype=encoder_dtype)
+        encoder_dtype=encoder_dtype,
+        remat_encoders=remat_encoders)
 
 
 def trainable_mask(params: Dict, freeze_vision: bool = True,

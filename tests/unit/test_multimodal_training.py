@@ -235,3 +235,72 @@ class TestEndToEndFreezing:
             for a, b in zip(jax.tree.leaves(p0['language_encoder']),
                             jax.tree.leaves(p1['language_encoder'])))
         assert enc_delta > 0.0
+
+
+class TestRematEncoders:
+    """remat_encoders: jax.checkpoint around the towers must change memory
+    behavior only — losses and updated params stay numerically identical."""
+
+    def _tiny(self, remat):
+        from pixelrec_multimodal_tpu.encoders.text_models import (
+            TextEncoderConfig, TextTransformer)
+        from pixelrec_multimodal_tpu.models.end_to_end import (
+            EndToEndRecommender)
+
+        scorer = MultimodalRecommender(
+            n_users=N_USERS, n_items=N_ITEMS, n_tags=N_TAGS,
+            num_numerical_features=0, embedding_dim=8,
+            vision_feature_dim=None, language_feature_dim=16,
+            use_contrastive=False, fusion_hidden_dims=(16,),
+            fusion_type='concatenate', use_batch_norm=False,
+            language_model_name='tiny')
+        tiny_cfg = TextEncoderConfig(vocab_size=50, hidden_size=16,
+                                     num_layers=1, num_heads=2,
+                                     intermediate_size=32,
+                                     max_position_embeddings=16)
+
+        class TinyE2E(EndToEndRecommender):
+            def setup(self):
+                self.language_encoder = self._maybe_remat(
+                    TextTransformer(tiny_cfg))
+
+        return TinyE2E(scorer=scorer, language_model_name='tiny',
+                       remat_encoders=remat)
+
+    def _one_step(self, remat):
+        from pixelrec_multimodal_tpu.training.e2e_steps import (
+            init_e2e_train_state, make_e2e_step_fns)
+        from pixelrec_multimodal_tpu.training.optimizers import (
+            build_optimizer)
+        model = self._tiny(remat)
+        # SGD, not Adam: the attention key-bias gradient is analytically
+        # zero (softmax shift invariance), so Adam's g/sqrt(v) normalizer
+        # amplifies remat's reordered-float noise on it to lr scale. SGD
+        # keeps the update linear in the gradient, making the remat
+        # equivalence checkable to float tolerance.
+        state = init_e2e_train_state(model, build_optimizer('sgd', 1e-2),
+                                     jax.random.PRNGKey(0), text_len=8)
+        train_step, _ = make_e2e_step_fns(model, {})
+        batch = make_batch(8)
+        batch['text_input_ids'] = jnp.ones((8, 8), jnp.int32) * 3
+        batch['text_attention_mask'] = jnp.ones((8, 8), jnp.int32)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        return jax.device_get(state.params), float(metrics['total_loss'])
+
+    def test_remat_matches_baseline_exactly(self):
+        p_base, loss_base = self._one_step(remat=False)
+        p_remat, loss_remat = self._one_step(remat=True)
+        assert np.isfinite(loss_base)
+        np.testing.assert_allclose(loss_remat, loss_base, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(p_base), jax.tree.leaves(p_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_builder_threads_remat_flag(self):
+        from pixelrec_multimodal_tpu.config import ModelConfig
+        from pixelrec_multimodal_tpu.models.end_to_end import (
+            build_end_to_end_model)
+        cfg = ModelConfig(vision_model=None, language_model='sentence-bert',
+                          embedding_dim=8, use_contrastive=False)
+        m = build_end_to_end_model(cfg, 4, 4, 2, 0, remat_encoders=True)
+        assert m.remat_encoders is True
