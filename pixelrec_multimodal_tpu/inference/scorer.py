@@ -172,16 +172,22 @@ class CatalogScorer:
         offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         # Pad the user block to the kernel's user-tile multiple.
-        TB = 16
+        TB = 64
         B_pad = ((B + TB - 1) // TB) * TB
         uf = jnp.zeros((B_pad, user_first.shape[1]),
                        user_first.dtype).at[:B].set(user_first)
+
+        # Tile geometry is VMEM-bounded: activations are [TB*TC, h1].
+        # Measured on v5e (65k catalog, [512,256,128] head): 16x128 =
+        # 287M pairs/s, 32x256 = 299M, 64x128 = 307M (best), 64x256 =
+        # VMEM OOM (20.2M > 16M scoped limit).
+        TC = 128
 
         def body(carry, xs):
             chunk, off = xs
             if self._use_pallas:
                 s = pallas_pairwise_scores(self._head, uf, chunk,
-                                           tile_users=TB)[:B]
+                                           tile_users=TB, tile_items=TC)[:B]
             else:
                 s = xla_pairwise_scores(self._head, uf[:B], chunk)
             cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids

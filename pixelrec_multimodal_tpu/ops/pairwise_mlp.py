@@ -152,14 +152,20 @@ def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
 
     x = act(u[:, None, :] + it[None, :, :] + b1[None, None, :])
     x = x.reshape(TB * TC, -1)
-    for i in range(n_layers):
+    for i in range(n_layers - 1):
         w = layer_refs[2 * i][:].astype(compute_dtype)
         b = layer_refs[2 * i + 1][:].astype(compute_dtype)
         x = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        x = (x + b).astype(compute_dtype)
-        if i < n_layers - 1:
-            x = act(x)
-    scores = _apply_final(x[:, 0].astype(jnp.float32), final_activation)
+        x = act((x + b).astype(compute_dtype))
+    # Final layer has ONE live output column (padded to a full lane for
+    # storage): a VPU multiply-reduce against that column costs 2*width
+    # FLOPs/pair instead of a 2*width*LANE MXU matmul that discards 127
+    # of 128 columns.
+    w_last = layer_refs[2 * (n_layers - 1)][:].astype(compute_dtype)
+    b_last = layer_refs[2 * (n_layers - 1) + 1][:]
+    s = jnp.sum(x.astype(jnp.float32) * w_last[:, 0].astype(jnp.float32),
+                axis=1) + b_last[0].astype(jnp.float32)
+    scores = _apply_final(s, final_activation)
     out_ref[:] = scores.reshape(TB, TC)
 
 
