@@ -91,6 +91,23 @@ class TestSplittingParity:
         for r, o in zip(ref, ours):
             assert rowset(r) == rowset(o), f'{strategy} split differs'
 
+    def test_mixed_split_exact_parity(self):
+        """mixed_split: all five warm/cold sets row-identical vs reference
+        (splitting.py:440-500)."""
+        from src.data.splitting import DataSplitter as RefSplitter
+        from pixelrec_multimodal_tpu.data.splitting import DataSplitter
+
+        df = make_interactions(n_users=20, items_per_user=7, n_items=35)
+        ref = RefSplitter(random_state=42).mixed_split(
+            df.copy(), cold_user_ratio=0.2, cold_item_ratio=0.2,
+            train_ratio=0.75)
+        ours = DataSplitter(random_state=42).mixed_split(
+            df.copy(), cold_user_ratio=0.2, cold_item_ratio=0.2,
+            train_ratio=0.75)
+        assert set(ref) == set(ours)
+        for key in ref:
+            assert rowset(ref[key]) == rowset(ours[key]), f'{key} differs'
+
     def test_stratified_distributional_parity(self):
         """Per-user stratified split: same per-user train counts (selection
         RNG differs by design; the vectorized sampler is documented)."""
