@@ -95,6 +95,9 @@ class Recommender:
         scorer already holds on device. Returned scores are the model's
         relevance scores, in MMR order.
         """
+        if not 0.0 <= diversity_weight <= 1.0:
+            raise ValueError(
+                f"diversity_weight must be in [0, 1], got {diversity_weight}")
         if str(user_id) not in self._user_classes:
             print(f"Warning: User '{user_id}' not found in the trained "
                   "user encoder.")
@@ -115,12 +118,13 @@ class Recommender:
         if not 0.0 <= diversity_weight <= 1.0:
             raise ValueError(
                 f"diversity_weight must be in [0, 1], got {diversity_weight}")
+        if diversity_weight == 0.0:  # pure relevance: skip the pool retrieval
+            return self.get_recommendations_batch(user_ids, top_k=top_k,
+                                                  filter_seen=filter_seen)
         pool = pool_size or max(top_k * 5, 100)
         pool = min(pool, self.dataset.n_items)
         ranked = self.get_recommendations_batch(user_ids, top_k=pool,
                                                 filter_seen=filter_seen)
-        if diversity_weight == 0.0:
-            return {u: recs[:top_k] for u, recs in ranked.items()}
 
         # One gather for the union of pooled items across all users.
         all_items = sorted({iid for recs in ranked.values()

@@ -106,10 +106,12 @@ def param_shardings(params, mesh: Mesh):
         name = getattr(path[-1], 'key', None) if path else None
         ndim = getattr(leaf, 'ndim', 0)
         shape = getattr(leaf, 'shape', ())
+        # device_put requires the sharded dim to divide evenly; non-divisible
+        # (or too-small) dims stay replicated.
         if size > 1 and ndim == 2:
-            if name == 'embedding' and shape[0] >= size:
+            if name == 'embedding' and shape[0] % size == 0:
                 return NamedSharding(mesh, P(MODEL_AXIS, None))
-            if name == 'kernel' and shape[1] >= size:
+            if name == 'kernel' and shape[1] % size == 0 and shape[1] >= size:
                 return NamedSharding(mesh, P(None, MODEL_AXIS))
         return NamedSharding(mesh, P())
 

@@ -215,6 +215,9 @@ class TestRecommender:
     def test_diverse_rejects_bad_weight(self, trained):
         with pytest.raises(ValueError):
             trained.get_diverse_recommendations('u0', diversity_weight=1.5)
+        # Weight validation precedes the unknown-user short-circuit.
+        with pytest.raises(ValueError):
+            trained.get_diverse_recommendations('nobody', diversity_weight=-1)
         assert trained.get_diverse_recommendations('nobody', top_k=3) == []
 
     def test_full_matrix_consistency(self, trained):

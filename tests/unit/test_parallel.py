@@ -144,6 +144,18 @@ class TestParamShardings:
         assert sh['proj']['bias'].spec == P()
         assert sh['norm']['scale'].spec == P()
 
+    def test_non_divisible_dims_stay_replicated(self, devices):
+        """device_put rejects uneven shards; odd vocab/out-dims replicate."""
+        from pixelrec_multimodal_tpu.parallel import param_shardings
+        mesh = make_mesh(model_parallel=2)
+        params = {'emb': {'embedding': jnp.zeros((101, 16))},
+                  'proj': {'kernel': jnp.zeros((16, 33))}}
+        sh = param_shardings(params, mesh)
+        assert sh['emb']['embedding'].spec == P()
+        assert sh['proj']['kernel'].spec == P()
+        placed = jax.device_put(params, sh)  # must not raise
+        assert placed['emb']['embedding'].shape == (101, 16)
+
     def test_model_axis_one_replicates_everything(self, devices):
         from pixelrec_multimodal_tpu.parallel import param_shardings
         mesh = make_mesh(model_parallel=1)
