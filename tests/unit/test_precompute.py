@@ -61,3 +61,37 @@ def test_vision_embedding_table(store_with_images):
     assert table.shape == (5, 2048)
     assert np.isfinite(table).all()
     assert not np.allclose(table[0], table[1])
+
+
+def test_precompute_is_deterministic(store_with_images):
+    """Same store + config + batch size -> bit-identical tables (seeded
+    random init, fixed traversal); a different batch size is numerically
+    equivalent only to float tolerance (XLA fuses per-shape)."""
+    cfg = Config()
+    cfg.model.vision_model = None
+    cfg.model.language_model = 'sentence-bert'
+    precompute_embedding_tables(store_with_images, cfg, batch_size=4)
+    first = np.array(store_with_images.tables['language_emb'])
+    precompute_embedding_tables(store_with_images, cfg, batch_size=4)
+    np.testing.assert_array_equal(
+        first, np.array(store_with_images.tables['language_emb']))
+    precompute_embedding_tables(store_with_images, cfg, batch_size=2)
+    np.testing.assert_allclose(
+        first, np.array(store_with_images.tables['language_emb']),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_precompute_without_text_tables_adds_nothing(tmp_path):
+    """A store with no tokenized text degrades gracefully (no language_emb,
+    no crash) — reference placeholder semantics."""
+    items = pd.DataFrame({'item_id': ['x0', 'x1'], 'tag': ['a', 'b']})
+    enc = LabelEncoder().fit(items['item_id'])
+    tag_enc = LabelEncoder().fit(items['tag'])
+    store = ItemFeatureStore.build(items, enc, tag_encoder=tag_enc,
+                                   vision_model=None, language_model=None)
+    cfg = Config()
+    cfg.model.vision_model = None
+    cfg.model.language_model = 'sentence-bert'
+    added = precompute_embedding_tables(store, cfg)
+    assert added == []
+    assert 'language_emb' not in store.tables
