@@ -108,27 +108,69 @@ class TopKRetrievalEvaluator(BaseEvaluator):
             return [str(i) for i in classes]
         return list(self.test_data['item_id'].unique())
 
+    def _catalog_arrays(self):
+        """Catalog id list, id->position map and test-count weights, built
+        ONCE per evaluator.
+
+        The reference rebuilds the full candidate list and a per-candidate
+        ``counts.get`` weight list for every user (tasks.py:181-308) —
+        O(users x catalog) host python, its own documented hot spot. Caching
+        these and sampling through a virtual index (below) preserves the
+        exact RNG streams while dropping the per-user catalog scans.
+        """
+        cache = getattr(self, '_catalog_cache', None)
+        if cache is None:
+            all_items = self._get_all_item_ids()
+            pos_of = {item: i for i, item in enumerate(all_items)}
+            counts = self.test_data['item_id'].value_counts()
+            # Same values as the reference's per-candidate
+            # ``float(counts.get(i, 1))`` (default 1 for unseen items).
+            counts_arr = counts.reindex(all_items).fillna(1.0).to_numpy(
+                dtype=np.float64)
+            cache = self._catalog_cache = (all_items, pos_of, counts_arr)
+        return cache
+
     def _sample_negatives(self, user_id: str,
                           positive_items: List[str]) -> List[str]:
-        """Seeded per-user negative sampling (reference tasks.py:181-308)."""
-        all_items = self._get_all_item_ids()
+        """Seeded per-user negative sampling (reference tasks.py:181-308).
+
+        Draws positions into the VIRTUAL candidate list (catalog minus this
+        user's positives, order preserved) and maps them back, instead of
+        materializing the list per user. ``random.Random(seed).sample`` on a
+        range consumes the generator identically to sampling the list itself
+        (the algorithm depends only on the population length), so outputs are
+        bit-identical to the reference under a pinned PYTHONHASHSEED.
+        """
+        all_items, pos_of, counts_arr = self._catalog_arrays()
         pos = {str(i) for i in positive_items}
-        candidates = [i for i in all_items if i not in pos]
-        if len(candidates) < self.num_negatives:
-            return candidates
-        if not candidates:
+        pos_positions = sorted(pos_of[p] for p in pos if p in pos_of)
+        n_candidates = len(all_items) - len(pos_positions)
+
+        def virt(j: int) -> str:
+            # j-th element of the catalog with positives skipped.
+            for q in pos_positions:
+                if q <= j:
+                    j += 1
+                else:
+                    break
+            return all_items[j]
+
+        if n_candidates < self.num_negatives:
+            return [virt(j) for j in range(n_candidates)]
+        if not n_candidates:
             return []
 
         seed = stable_user_seed(user_id)
-        n = min(self.num_negatives, len(candidates))
+        n = min(self.num_negatives, n_candidates)
 
         if self.sampling_strategy == 'random':
-            return random.Random(seed).sample(candidates, n)
+            idxs = random.Random(seed).sample(range(n_candidates), n)
+            return [virt(j) for j in idxs]
 
         # popularity / popularity_inverse: weights from test-data counts with
         # default count 1 for unseen items (reference :226-308).
-        counts = self.test_data['item_id'].value_counts()
-        raw = np.asarray([float(counts.get(i, 1)) for i in candidates])
+        raw = (np.delete(counts_arr, pos_positions) if pos_positions
+               else counts_arr.copy())
         if self.sampling_strategy == 'popularity_inverse':
             raw = 1.0 / raw
         if raw.sum() == 0:
@@ -136,12 +178,13 @@ class TopKRetrievalEvaluator(BaseEvaluator):
         p = raw / raw.sum()
         rng = np.random.RandomState(seed)
         try:
-            picked = rng.choice(len(candidates), size=n, replace=False, p=p)
-            return [candidates[i] for i in picked]
+            picked = rng.choice(n_candidates, size=n, replace=False, p=p)
+            return [virt(int(j)) for j in picked]
         except ValueError as e:
             print(f"Warning: {self.sampling_strategy} sampling failed for "
                   f"user {user_id}: {e}. Using random sampling.")
-            return random.Random(seed).sample(candidates, n)
+            idxs = random.Random(seed).sample(range(n_candidates), n)
+            return [virt(j) for j in idxs]
 
     def _candidate_set(self, user_id: str,
                        positive_items: List[str]) -> List[str]:

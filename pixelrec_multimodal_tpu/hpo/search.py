@@ -26,12 +26,20 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import random as _random
+import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: storage still works, just unlocked
+    fcntl = None
 
 
 class TrialPruned(Exception):
@@ -241,7 +249,17 @@ class MedianPruner:
 
 
 class Study:
-    """Sequential optimization loop with JSON persistence."""
+    """Optimization loop with JSON persistence and parallel trials.
+
+    ``optimize(n_jobs=k)`` runs k trials concurrently in threads (Optuna's
+    own n_jobs semantics — the objective's device work releases the GIL).
+    Independent PROCESSES pointing at the same ``storage`` path cooperate
+    the way Optuna workers share a SQLite DB (reference
+    hyperparameter_search.py:455-479): every trial begin/finish takes an
+    exclusive flock on a sidecar lock file, merges the on-disk trial list,
+    and writes back — so trial numbers never collide and each worker's TPE
+    sees everyone's completed trials.
+    """
 
     def __init__(self, study_name: str, direction: str = 'minimize',
                  sampler: Optional[TPESampler] = None,
@@ -253,6 +271,7 @@ class Study:
         self.pruner = pruner
         self.trials: List[FrozenTrial] = []
         self._storage_path = self._resolve_storage(storage)
+        self._lock = threading.RLock()
 
     @staticmethod
     def _resolve_storage(storage: Optional[str]) -> Optional[Path]:
@@ -284,28 +303,100 @@ class Study:
         self.trials = [FrozenTrial.from_json(t) for t in data.get('trials', [])]
         return True
 
+    # -------------------------------------------------- cross-process storage
+    @contextmanager
+    def _storage_lock(self):
+        """Exclusive flock on a sidecar file while touching shared storage."""
+        if self._storage_path is None or fcntl is None:
+            yield
+            return
+        self._storage_path.parent.mkdir(parents=True, exist_ok=True)
+        lock_path = Path(str(self._storage_path) + '.lock')
+        with open(lock_path, 'w') as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def _merge_from_disk(self):
+        """Fold other workers' trials into memory (finished beats RUNNING)."""
+        if self._storage_path is None or not self._storage_path.exists():
+            return
+        try:
+            with open(self._storage_path) as f:
+                data = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return
+        if data.get('study_name') != self.study_name:
+            return
+        by_num = {t.number: t for t in self.trials}
+        for d in data.get('trials', []):
+            t = FrozenTrial.from_json(d)
+            cur = by_num.get(t.number)
+            if cur is None or (cur.state == TrialState.RUNNING
+                               and t.state != TrialState.RUNNING):
+                by_num[t.number] = t
+        self.trials = [by_num[k] for k in sorted(by_num)]
+
+    def _begin_trial(self) -> FrozenTrial:
+        with self._lock, self._storage_lock():
+            self._merge_from_disk()
+            number = self.trials[-1].number + 1 if self.trials else 0
+            record = FrozenTrial(number=number)
+            self.trials.append(record)
+            self._save()
+        return record
+
+    def _finish_trial(self, record: FrozenTrial):
+        with self._lock, self._storage_lock():
+            self._merge_from_disk()
+            self._save()
+
+    def _discard_trial(self, record: FrozenTrial):
+        with self._lock, self._storage_lock():
+            self.trials = [t for t in self.trials
+                           if t.number != record.number]
+            self._merge_from_disk()
+            self._save()
+
     # -------------------------------------------------------------- optimize
+    def _run_one(self, objective: Callable[[Trial], float]):
+        record = self._begin_trial()
+        trial = Trial(self, record)
+        try:
+            value = objective(trial)
+            record.value = float(value)
+            record.state = TrialState.COMPLETE
+        except TrialPruned:
+            record.state = TrialState.PRUNED
+        except KeyboardInterrupt:
+            self._discard_trial(record)
+            raise
+        except Exception as e:
+            print(f"Trial {record.number} failed: {e}")
+            record.state = TrialState.FAIL
+        self._finish_trial(record)
+
     def optimize(self, objective: Callable[[Trial], float],
                  n_trials: int = 100, n_jobs: int = 1,
                  show_progress_bar: bool = False):
-        del n_jobs, show_progress_bar  # sequential engine; args for parity
-        for _ in range(n_trials):
-            record = FrozenTrial(number=len(self.trials))
-            self.trials.append(record)
-            trial = Trial(self, record)
-            try:
-                value = objective(trial)
-                record.value = float(value)
-                record.state = TrialState.COMPLETE
-            except TrialPruned:
-                record.state = TrialState.PRUNED
-            except KeyboardInterrupt:
-                self.trials.pop()
-                raise
-            except Exception as e:
-                print(f"Trial {record.number} failed: {e}")
-                record.state = TrialState.FAIL
-            self._save()
+        del show_progress_bar  # arg kept for Optuna surface parity
+        if not n_jobs:
+            n_jobs = 1
+        if n_jobs < 0:
+            n_jobs = os.cpu_count() or 1
+        n_jobs = min(n_jobs, n_trials)
+        if n_jobs == 1:
+            for _ in range(n_trials):
+                self._run_one(objective)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            futures = [pool.submit(self._run_one, objective)
+                       for _ in range(n_trials)]
+            for f in futures:
+                f.result()
 
     # --------------------------------------------------------------- results
     @property

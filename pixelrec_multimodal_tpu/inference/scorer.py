@@ -16,6 +16,10 @@ of 256 with per-item feature fetch + host sort). Design:
   * Per-user candidate-set scoring (retrieval eval) is one gather + one call
     for ALL users at once, replacing the reference's per-user process loop
     (tasks.py:529-561).
+  * With a ``jax.sharding.Mesh``, the catalog axis shards over 'model' and
+    user rows over 'data': each shard streams its slice through the same
+    scan, then the k-per-shard candidates all-gather over ICI and one final
+    top_k merges them (exact global top-K, O(shards*k) comms per row).
 """
 from __future__ import annotations
 
@@ -25,9 +29,15 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..ops.topk import NEG_INF, init_topk, merge_topk
-from ..parallel.mesh import pad_to_multiple
+from ..parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    item_table_sharding,
+    pad_to_multiple,
+)
 
 
 class CatalogScorer:
@@ -40,12 +50,28 @@ class CatalogScorer:
         self.variables = variables
         self.store = feature_store
         self.mesh = mesh
+        self._model_size = int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
+        self._data_size = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
         self.n_items = feature_store.n_items
         self.item_chunk = min(item_chunk, pad_to_multiple(self.n_items, 128))
-        self.n_pad = pad_to_multiple(self.n_items, self.item_chunk)
+        # With a mesh the catalog axis is sharded over 'model': pad so each
+        # shard holds a whole number of scan chunks.
+        self.n_pad = pad_to_multiple(self.n_items,
+                                     self.item_chunk * self._model_size)
         self.user_chunk = user_chunk
+        self._sharded_fns: Dict = {}
+        if mesh is not None:
+            # Model weights replicate over the mesh (they're small); without
+            # this, checkpoint-restored arrays stay committed to device 0 and
+            # jit refuses to mix them with the mesh-sharded item tables.
+            from jax.sharding import NamedSharding
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(mesh, P()))
 
         self._item_feats = self._build_item_tower()  # [n_pad, M, D]
+        if mesh is not None:
+            self._item_feats = jax.device_put(
+                self._item_feats, item_table_sharding(mesh))
         self._pad_mask = np.zeros(self.n_pad, dtype=bool)
         self._pad_mask[self.n_items:] = True  # True = invalid (padding)
 
@@ -65,6 +91,9 @@ class CatalogScorer:
                 item_flat = self._item_feats.reshape(self.n_pad, -1)
                 self._item_first = compute_item_first(
                     self._head, item_flat)  # [n_pad, h1]
+                if mesh is not None:
+                    self._item_first = jax.device_put(
+                        self._item_first, item_table_sharding(mesh))
         self._use_pallas = jax.default_backend() == 'tpu'
 
     # ------------------------------------------------------------- item tower
@@ -103,9 +132,8 @@ class CatalogScorer:
         return tower(self.variables, item_idx, tag_idx, **kw)
 
     # ---------------------------------------------------------- score kernels
-    @partial(jax.jit, static_argnums=0)
-    def _score_block(self, variables, item_block: jnp.ndarray,
-                     user_idx: jnp.ndarray) -> jnp.ndarray:
+    def _score_block_impl(self, variables, item_block: jnp.ndarray,
+                          user_idx: jnp.ndarray) -> jnp.ndarray:
         """[C, M, D] items x [B] users -> [B, C] scores."""
         B, C = user_idx.shape[0], item_block.shape[0]
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
@@ -118,25 +146,30 @@ class CatalogScorer:
             method='score_from_towers')
         return flat_scores.reshape(B, C)
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def _topk_scan(self, variables, item_feats: jnp.ndarray,
-                   user_idx: jnp.ndarray, invalid_mask: jnp.ndarray, k: int
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Streaming exact top-k over the padded catalog.
+    @partial(jax.jit, static_argnums=0)
+    def _score_block(self, variables, item_block: jnp.ndarray,
+                     user_idx: jnp.ndarray) -> jnp.ndarray:
+        return self._score_block_impl(variables, item_block, user_idx)
 
-        invalid_mask: [B, n_pad] bool — True entries (seen items, padding)
-        are excluded.
+    def _generic_topk_body(self, variables, item_feats: jnp.ndarray,
+                           user_idx: jnp.ndarray, invalid_mask: jnp.ndarray,
+                           k: int, base) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming exact top-k over a (slice of the) padded catalog.
+
+        invalid_mask: [B, n_local] bool — True entries (seen items, padding)
+        are excluded. ``base`` offsets returned indices to global positions
+        (0 single-device; shard * n_local under shard_map).
         """
         B = user_idx.shape[0]
         C = self.item_chunk
-        num_chunks = self.n_pad // C
+        num_chunks = item_feats.shape[0] // C
         chunks = item_feats.reshape((num_chunks, C) + item_feats.shape[1:])
         masks = invalid_mask.reshape(B, num_chunks, C).transpose(1, 0, 2)
-        offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
+        offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         def body(carry, xs):
             chunk, mask, off = xs
-            s = self._score_block(variables, chunk, user_idx)
+            s = self._score_block_impl(variables, chunk, user_idx)
             s = jnp.where(mask, NEG_INF, s)
             idx = off + jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
@@ -145,18 +178,25 @@ class CatalogScorer:
         carry, _ = jax.lax.scan(body, init_topk(B, k), (chunks, masks, offsets))
         return carry
 
-    # ------------------------------------------------------ fast (factorized)
     @partial(jax.jit, static_argnums=(0, 5))
-    def _topk_scan_fast(self, variables, item_first: jnp.ndarray,
-                        user_idx: jnp.ndarray, seen_items: jnp.ndarray,
-                        k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Streaming top-k over the catalog through the fused pairwise-MLP
-        kernel. item_first: [n_pad, h1] precomputed item-side first layer.
+    def _topk_scan(self, variables, item_feats: jnp.ndarray,
+                   user_idx: jnp.ndarray, invalid_mask: jnp.ndarray, k: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._generic_topk_body(variables, item_feats, user_idx,
+                                       invalid_mask, k, jnp.int32(0))
 
-        seen_items: [B, H] per-user excluded item positions padded with -1 —
-        a compact mask representation built in-graph per chunk (B x C x H
-        compares on the VPU), avoiding a dense [B, n_pad] host->device
-        transfer per call.
+    # ------------------------------------------------------ fast (factorized)
+    def _fast_topk_body(self, variables, item_first: jnp.ndarray,
+                        user_idx: jnp.ndarray, seen_items: jnp.ndarray,
+                        k: int, base) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming top-k over a (slice of the) catalog through the fused
+        pairwise-MLP kernel. item_first: [n_local, h1] precomputed item-side
+        first layer; ``base`` offsets local positions to global item ids.
+
+        seen_items: [B, H] per-user excluded GLOBAL item positions padded
+        with -1 — a compact mask representation built in-graph per chunk
+        (B x C x H compares on the VPU), avoiding a dense [B, n_pad]
+        host->device transfer per call.
         """
         from ..ops.pairwise_mlp import (
             compute_user_first,
@@ -165,11 +205,11 @@ class CatalogScorer:
         )
         B = user_idx.shape[0]
         C = self.item_chunk
-        num_chunks = self.n_pad // C
+        num_chunks = item_first.shape[0] // C
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
         user_first = compute_user_first(self._head, user_emb)  # [B, h1]
         chunks = item_first.reshape(num_chunks, C, item_first.shape[-1])
-        offsets = jnp.arange(num_chunks, dtype=jnp.int32) * C
+        offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         # Pad the user block to the kernel's user-tile multiple.
         TB = 64
@@ -202,6 +242,52 @@ class CatalogScorer:
 
         carry, _ = jax.lax.scan(body, init_topk(B, k), (chunks, offsets))
         return carry
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _topk_scan_fast(self, variables, item_first: jnp.ndarray,
+                        user_idx: jnp.ndarray, seen_items: jnp.ndarray,
+                        k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._fast_topk_body(variables, item_first, user_idx,
+                                    seen_items, k, jnp.int32(0))
+
+    # --------------------------------------------------------- sharded top-k
+    def _sharded_topk(self, k: int, fast: bool):
+        """Build (and cache) the shard_map'd exact top-k for ``self.mesh``.
+
+        The item table lives sharded over 'model' (each shard streams its
+        slice of the catalog through the same scan bodies as the
+        single-device path, carrying GLOBAL indices via a per-shard base
+        offset); user rows ride 'data'. The merge all-gathers the k
+        candidates per shard over ICI and reduces with one final top_k —
+        O(shards * k) communication per user row instead of O(catalog)
+        (SURVEY.md §5.7's replacement for the reference's host scoring loop,
+        /root/reference/src/inference/recommender.py:96-106).
+        """
+        key = (k, fast)
+        fn = self._sharded_fns.get(key)
+        if fn is not None:
+            return fn
+        from jax import shard_map
+
+        n_local = self.n_pad // self._model_size
+        body = self._fast_topk_body if fast else self._generic_topk_body
+        mask_spec = P(DATA_AXIS) if fast else P(DATA_AXIS, MODEL_AXIS)
+
+        def local_fn(variables, item_table, user_idx, mask):
+            base = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * n_local
+            v, i = body(variables, item_table, user_idx, mask, k, base)
+            all_v = jax.lax.all_gather(v, MODEL_AXIS, axis=-1, tiled=True)
+            all_i = jax.lax.all_gather(i, MODEL_AXIS, axis=-1, tiled=True)
+            out_v, pos = jax.lax.top_k(all_v, k)
+            return out_v, jnp.take_along_axis(all_i, pos, axis=-1)
+
+        fn = jax.jit(shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(MODEL_AXIS), P(DATA_AXIS), mask_spec),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False))
+        self._sharded_fns[key] = fn
+        return fn
 
     @partial(jax.jit, static_argnums=0)
     def _score_candidates(self, variables, item_feats: jnp.ndarray,
@@ -243,6 +329,11 @@ class CatalogScorer:
         for s in range(0, len(user_indices), self.user_chunk):
             users = user_indices[s:s + self.user_chunk]
             B = len(users)
+            # Pad the user block so the 'data' mesh axis divides it evenly
+            # (duplicate rows of user 0; results sliced back to B below).
+            Bp = pad_to_multiple(B, self._data_size)
+            users_p = np.concatenate(
+                [users, np.full(Bp - B, users[0], np.int32)])
             if self._head is not None:
                 # Compact seen-lists [B, H] padded with -1 (H static per
                 # scorer via _seen_pad for compile-cache stability).
@@ -251,24 +342,35 @@ class CatalogScorer:
                     rows = [np.flatnonzero(r) for r in block]
                     H = max((len(r) for r in rows), default=0)
                     H = self._seen_pad(H)
-                    seen = np.full((B, H), -1, dtype=np.int32)
+                    seen = np.full((Bp, H), -1, dtype=np.int32)
                     for bi, r in enumerate(rows):
                         seen[bi, :len(r)] = r
                 else:
-                    seen = np.zeros((B, 0), dtype=np.int32)
-                v, i = self._topk_scan_fast(
-                    self.variables, self._item_first, jnp.asarray(users),
-                    jnp.asarray(seen), k)
+                    seen = np.zeros((Bp, 0), dtype=np.int32)
+                if self.mesh is not None:
+                    v, i = self._sharded_topk(k, fast=True)(
+                        self.variables, self._item_first,
+                        jnp.asarray(users_p), jnp.asarray(seen))
+                else:
+                    v, i = self._topk_scan_fast(
+                        self.variables, self._item_first,
+                        jnp.asarray(users_p), jnp.asarray(seen), k)
             else:
                 invalid = np.broadcast_to(self._pad_mask,
-                                          (B, self.n_pad)).copy()
+                                          (Bp, self.n_pad)).copy()
                 if seen_mask is not None:
-                    invalid[:, :self.n_items] |= \
+                    invalid[:B, :self.n_items] |= \
                         seen_mask[s:s + self.user_chunk]
-                v, i = self._topk_scan(
-                    self.variables, self._item_feats, jnp.asarray(users),
-                    jnp.asarray(invalid), k)
-            v, i = np.array(v), np.array(i)  # copies: jax buffers are read-only
+                if self.mesh is not None:
+                    v, i = self._sharded_topk(k, fast=False)(
+                        self.variables, self._item_feats,
+                        jnp.asarray(users_p), jnp.asarray(invalid))
+                else:
+                    v, i = self._topk_scan(
+                        self.variables, self._item_feats,
+                        jnp.asarray(users_p), jnp.asarray(invalid), k)
+            # copies: jax buffers are read-only; drop user-padding rows
+            v, i = np.array(v)[:B], np.array(i)[:B]
             i[v <= float(NEG_INF) / 2] = -1
             out_v.append(v)
             out_i.append(i)

@@ -5,6 +5,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     item_table_sharding,
     make_mesh,
+    mesh_from_flags,
     pad_to_multiple,
     param_shardings,
     replicated,

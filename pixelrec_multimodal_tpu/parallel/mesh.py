@@ -50,6 +50,31 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(grid, axis_names)
 
 
+def mesh_from_flags(data_parallel: Optional[int] = None,
+                    model_parallel: int = 1) -> Optional[Mesh]:
+    """Build the production mesh from CLI flags; None when trivial.
+
+    Default policy for the scripts (--data_parallel/--model_parallel): use
+    every visible device on the data axis unless an explicit factorization is
+    given. Returns None for a 1x1 mesh so single-chip runs keep the
+    zero-overhead unsharded code paths.
+    """
+    devices = jax.devices()
+    model_parallel = max(int(model_parallel or 1), 1)
+    if data_parallel is None:
+        data_parallel = max(len(devices) // model_parallel, 1)
+    data_parallel = max(int(data_parallel), 1)
+    if data_parallel * model_parallel == 1:
+        return None
+    n = data_parallel * model_parallel
+    if n > len(devices):
+        raise ValueError(
+            f"requested {data_parallel}x{model_parallel} mesh but only "
+            f"{len(devices)} device(s) visible")
+    return make_mesh(devices[:n], data_parallel=data_parallel,
+                     model_parallel=model_parallel)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for per-example arrays: leading axis split over 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))

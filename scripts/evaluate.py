@@ -88,7 +88,7 @@ def find_encoders(config: Config):
 def create_recommender(recommender_type: str, config: Config,
                        dataset: MultimodalDataset,
                        train_data: Optional[pd.DataFrame],
-                       checkpoint_name: str = 'best_model'):
+                       checkpoint_name: str = 'best_model', mesh=None):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
         model = build_model(
@@ -104,7 +104,7 @@ def create_recommender(recommender_type: str, config: Config,
         variables = {'params': state['params']}
         if 'batch_stats' in state:
             variables['batch_stats'] = state['batch_stats']
-        return Recommender(model, variables, dataset)
+        return Recommender(model, variables, dataset, mesh=mesh)
 
     history = train_data if train_data is not None else dataset.interactions
     if recommender_type == 'random':
@@ -158,6 +158,12 @@ def main(cli_args=None):
     parser.add_argument('--checkpoint_name', type=str,
                         default='best_model.pth',
                         help='Name of checkpoint file to load')
+    parser.add_argument('--data_parallel', type=int, default=None,
+                        help='Mesh data-axis size (default: all devices / '
+                             'model_parallel)')
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='Mesh catalog-axis size: shards the item '
+                             'tables and full-catalog top-K over devices')
     args = parser.parse_args(cli_args)
 
     if args.device:
@@ -166,6 +172,11 @@ def main(cli_args=None):
             jax.config.update('jax_platforms', args.device)
         except Exception as e:
             print(f"Warning: could not select platform '{args.device}': {e}")
+
+    from pixelrec_multimodal_tpu.parallel import mesh_from_flags
+    mesh = mesh_from_flags(args.data_parallel, args.model_parallel)
+    if mesh is not None:
+        print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     config = Config.from_yaml(args.config)
 
@@ -211,7 +222,7 @@ def main(cli_args=None):
 
     recommender = create_recommender(
         args.recommender_type, config, dataset, train_data,
-        checkpoint_name=args.checkpoint_name)
+        checkpoint_name=args.checkpoint_name, mesh=mesh)
 
     task = get_task_from_string(args.eval_task)
     evaluator = create_evaluator(

@@ -33,7 +33,8 @@ from pixelrec_multimodal_tpu.utils.logging import dump_json
 from evaluate import find_encoders, find_model_checkpoint  # noqa: E402
 
 
-def load_model_and_data(config: Config, checkpoint_name: str = 'best_model'):
+def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
+                        mesh=None):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -78,7 +79,7 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model'):
     variables = {'params': restored['state']['params']}
     if 'batch_stats' in restored['state']:
         variables['batch_stats'] = restored['state']['batch_stats']
-    return Recommender(model, variables, dataset), dataset
+    return Recommender(model, variables, dataset, mesh=mesh), dataset
 
 
 def resolve_users(args, dataset) -> list:
@@ -122,6 +123,12 @@ def main(cli_args=None):
                         help='JAX platform for inference.')
     parser.add_argument('--checkpoint_name', type=str, default='best_model',
                         help='Checkpoint to load.')
+    parser.add_argument('--data_parallel', type=int, default=None,
+                        help='Mesh data-axis size (default: all devices / '
+                             'model_parallel)')
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='Mesh catalog-axis size: shards the item '
+                             'tables and full-catalog top-K over devices')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "
@@ -134,8 +141,14 @@ def main(cli_args=None):
         except Exception as e:
             print(f"Warning: could not select platform '{args.device}': {e}")
 
+    from pixelrec_multimodal_tpu.parallel import mesh_from_flags
+    mesh = mesh_from_flags(args.data_parallel, args.model_parallel)
+    if mesh is not None:
+        print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     config = Config.from_yaml(args.config)
-    recommender, dataset = load_model_and_data(config, args.checkpoint_name)
+    recommender, dataset = load_model_and_data(config, args.checkpoint_name,
+                                               mesh=mesh)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

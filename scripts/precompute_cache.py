@@ -27,7 +27,8 @@ from pixelrec_multimodal_tpu.data.processors import NumericalProcessor
 
 def precompute_features_cache(config: Config, force_recompute: bool = False,
                               max_items: int = None,
-                              skip_encoders: bool = False):
+                              skip_encoders: bool = False,
+                              mesh=None):
     """Pack feature tables (+ encoder embedding tables when possible)."""
     start = time.time()
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -82,7 +83,7 @@ def precompute_features_cache(config: Config, force_recompute: bool = False,
             from pixelrec_multimodal_tpu.encoders.precompute import (
                 precompute_embedding_tables)
             t0 = time.time()
-            added = precompute_embedding_tables(store, config)
+            added = precompute_embedding_tables(store, config, mesh=mesh)
             if added:
                 print(f"Computed embedding tables {added} in "
                       f"{time.time() - t0:.1f}s")
@@ -113,11 +114,21 @@ def main(cli_args=None):
                              '(for testing).')
     parser.add_argument('--skip_encoders', action='store_true',
                         help='Pack input tables only; skip encoder forwards.')
+    parser.add_argument('--data_parallel', type=int, default=None,
+                        help='Mesh data-axis size for the batched encoder '
+                             'forwards (default: all devices)')
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='Mesh model-axis size')
     args = parser.parse_args(cli_args)
     config = Config.from_yaml(args.config)
+    from pixelrec_multimodal_tpu.parallel import mesh_from_flags
+    mesh = mesh_from_flags(args.data_parallel, args.model_parallel)
+    if mesh is not None:
+        print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     precompute_features_cache(config, force_recompute=args.force_recompute,
                               max_items=args.max_items,
-                              skip_encoders=args.skip_encoders)
+                              skip_encoders=args.skip_encoders,
+                              mesh=mesh)
 
 
 if __name__ == '__main__':

@@ -54,6 +54,29 @@ def setup_jax_device(device: Optional[str]):
     return jax.devices()
 
 
+def build_training_mesh(data_parallel: Optional[int], model_parallel: int,
+                        batch_size: int):
+    """Device mesh for training (SURVEY.md §2.2 dp plan): batch rows over
+    'data', embedding tables over 'model'. The data axis must divide the
+    batch size (static-shape sharded batches); shrink it to the largest
+    divisor when it doesn't, rather than failing mid-run."""
+    from pixelrec_multimodal_tpu.parallel import mesh_from_flags
+    mesh = mesh_from_flags(data_parallel, model_parallel)
+    if mesh is None:
+        return None
+    dp = int(mesh.shape['data'])
+    if batch_size % dp:
+        new_dp = dp
+        while new_dp > 1 and batch_size % new_dp:
+            new_dp -= 1
+        print(f"Warning: batch_size={batch_size} not divisible by "
+              f"data_parallel={dp}; using data_parallel={new_dp}")
+        mesh = mesh_from_flags(new_dp, int(mesh.shape['model']))
+    if mesh is not None:
+        print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    return mesh
+
+
 def run_training(config: Config, args: argparse.Namespace) -> Dict[str, Any]:
     """Execute the full training pipeline; reusable by HPO
     (reference train.py:151-620)."""
@@ -89,10 +112,13 @@ def run_training(config: Config, args: argparse.Namespace) -> Dict[str, Any]:
         print("W&B logging disabled")
     print_progress_footer(step_start)
 
-    # STEP 4: device
+    # STEP 4: device + mesh
     print_progress_header(4, "Setting up Device")
     step_start = time.time()
     setup_jax_device(getattr(args, 'device', None))
+    mesh = build_training_mesh(getattr(args, 'data_parallel', None),
+                               getattr(args, 'model_parallel', 1),
+                               training_config.batch_size)
     print_progress_footer(step_start)
 
     # STEP 5: data
@@ -249,7 +275,8 @@ def run_training(config: Config, args: argparse.Namespace) -> Dict[str, Any]:
     trainer = Trainer(model=model, config=config,
                       checkpoint_dir=config.checkpoint_dir,
                       use_contrastive=config.model.use_contrastive,
-                      trial_info=getattr(args, 'trial_info', None))
+                      trial_info=getattr(args, 'trial_info', None),
+                      mesh=mesh)
     if getattr(args, 'resume', None):
         print(f"\nResuming from checkpoint: {args.resume}")
         trainer.load_checkpoint(args.resume)
@@ -380,6 +407,13 @@ def main(cli_args: Optional[List[str]] = None):
                         help='Weights & Biases run name for this training')
     parser.add_argument('--verbose', action='store_true',
                         help='Enable verbose output')
+    parser.add_argument('--data_parallel', type=int, default=None,
+                        help='Mesh data-axis size (default: all devices / '
+                             'model_parallel); shards batches for dp '
+                             'training')
+    parser.add_argument('--model_parallel', type=int, default=1,
+                        help='Mesh model-axis size: shards item feature/'
+                             'embedding tables over devices')
     args = parser.parse_args(cli_args)
 
     print_progress_header(1, "Loading Configuration")

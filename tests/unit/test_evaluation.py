@@ -274,3 +274,67 @@ class TestFactory:
             get_task_from_string('next_item')
         with pytest.raises(ValueError):
             get_task_from_string('bogus')
+
+
+class TestVectorizedSamplingEquivalence:
+    """The virtual-index negative sampler must be bit-identical to the
+    reference algorithm (per-user candidate-list rebuild + counts.get
+    weights, reference tasks.py:181-308), which it replaced for speed."""
+
+    @staticmethod
+    def _reference_sample(ev, user_id, positive_items):
+        import random as _random
+        all_items = ev._get_all_item_ids()
+        pos = {str(i) for i in positive_items}
+        candidates = [i for i in all_items if i not in pos]
+        if len(candidates) < ev.num_negatives:
+            return candidates
+        if not candidates:
+            return []
+        seed = stable_user_seed(user_id)
+        n = min(ev.num_negatives, len(candidates))
+        if ev.sampling_strategy == 'random':
+            return _random.Random(seed).sample(candidates, n)
+        counts = ev.test_data['item_id'].value_counts()
+        raw = np.asarray([float(counts.get(i, 1)) for i in candidates])
+        if ev.sampling_strategy == 'popularity_inverse':
+            raw = 1.0 / raw
+        if raw.sum() == 0:
+            raw = np.ones_like(raw)
+        p = raw / raw.sum()
+        rng = np.random.RandomState(seed)
+        try:
+            picked = rng.choice(len(candidates), size=n, replace=False, p=p)
+            return [candidates[i] for i in picked]
+        except ValueError:
+            return _random.Random(seed).sample(candidates, n)
+
+    @pytest.mark.parametrize('strategy', ['random', 'popularity',
+                                          'popularity_inverse'])
+    def test_bit_identical_to_reference_algorithm(self, eval_setup, strategy):
+        rec, test, cfg = eval_setup
+        ev = TopKRetrievalEvaluator(rec, test, cfg, num_negatives=12,
+                                    sampling_strategy=strategy)
+        rng = np.random.default_rng(3)
+        catalog = ev._get_all_item_ids()
+        for u in range(25):
+            n_pos = int(rng.integers(0, 8))
+            pos = list(rng.choice(catalog, size=n_pos, replace=False))
+            got = ev._sample_negatives(f'user{u}', pos)
+            want = self._reference_sample(ev, f'user{u}', pos)
+            assert got == want, (strategy, u, pos)
+
+    def test_fewer_candidates_than_negatives(self, eval_setup):
+        rec, test, cfg = eval_setup
+        ev = TopKRetrievalEvaluator(rec, test, cfg, num_negatives=1000)
+        catalog = ev._get_all_item_ids()
+        got = ev._sample_negatives('u1', catalog[:5])
+        assert got == self._reference_sample(ev, 'u1', catalog[:5])
+        assert len(got) == len(catalog) - 5
+
+    def test_positives_outside_catalog_ignored(self, eval_setup):
+        rec, test, cfg = eval_setup
+        ev = TopKRetrievalEvaluator(rec, test, cfg, num_negatives=10)
+        got = ev._sample_negatives('u9', ['i3', 'not_in_catalog'])
+        assert got == self._reference_sample(ev, 'u9',
+                                             ['i3', 'not_in_catalog'])
