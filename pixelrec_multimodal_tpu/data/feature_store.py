@@ -24,6 +24,8 @@ reference (simple_cache.py:51-61).
 """
 from __future__ import annotations
 
+import os
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -58,7 +60,8 @@ class ItemFeatureStore:
                  vision_model: Optional[str] = None,
                  language_model: Optional[str] = None,
                  image_folder: Optional[str] = None,
-                 max_image_cache_items: int = 1000):
+                 max_image_cache_items: int = 1000,
+                 decode_workers: Optional[int] = None):
         self.n_items = n_items
         self.item_ids = np.asarray(item_ids).astype(str)  # idx -> original id
         self.vision_model = vision_model
@@ -71,6 +74,36 @@ class ItemFeatureStore:
         self._max_image_cache_items = max_image_cache_items
         self._hits = 0
         self._misses = 0
+        # Concurrent JPEG decode for the raw-input (unfrozen-encoder) path:
+        # PIL releases the GIL, so a thread pool overlaps decodes the way the
+        # reference's DataLoader worker processes do (reference
+        # scripts/train.py:105-126, workers = min(cfg, cpu, 8)).
+        self._decode_workers = (decode_workers if decode_workers is not None
+                                else min(8, os.cpu_count() or 1))
+        self._image_lock = threading.Lock()
+        self._decode_pool = None
+
+    # -------------------------------------------------------- pickling/threads
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state['_image_lock'] = None
+        state['_decode_pool'] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._image_lock = threading.Lock()
+        self._decode_pool = None
+
+    def _get_decode_pool(self):
+        if self._decode_workers < 2:
+            return None
+        if self._decode_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self._decode_workers,
+                thread_name_prefix='pixelrec-decode')
+        return self._decode_pool
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -170,30 +203,66 @@ class ItemFeatureStore:
         LRU-bounded). Zero placeholder when missing/undecodable."""
         if self._image_processor is None:
             raise RuntimeError("No vision model configured for this store.")
-        if item_pos in self._image_cache:
-            self._hits += 1
-            self._image_cache.move_to_end(item_pos)
-            return self._image_cache[item_pos]
-        self._misses += 1
+        with self._image_lock:
+            if item_pos in self._image_cache:
+                self._hits += 1
+                self._image_cache.move_to_end(item_pos)
+                return self._image_cache[item_pos]
+            self._misses += 1
         path = f"{self.image_folder}/{self.item_ids[item_pos]}.jpg"
         img = self._image_processor.load_and_transform_image(path)
-        self._image_cache[item_pos] = img
-        if len(self._image_cache) > self._max_image_cache_items:
-            self._image_cache.popitem(last=False)
+        self._cache_put(item_pos, img)
         return img
 
+    def _cache_put(self, item_pos: int, img: np.ndarray):
+        with self._image_lock:
+            self._image_cache[item_pos] = img
+            if len(self._image_cache) > self._max_image_cache_items:
+                self._image_cache.popitem(last=False)
+
+    def _ensure_images_cached(self, positions: List[int]):
+        """Decode cache-missing positions concurrently."""
+        with self._image_lock:
+            missing = sorted({p for p in positions
+                              if p not in self._image_cache})
+        pool = self._get_decode_pool()
+        if pool is None or len(missing) < 2:
+            return
+
+        def decode(p):
+            return p, self._image_processor.load_and_transform_image(
+                f"{self.image_folder}/{self.item_ids[p]}.jpg")
+
+        for p, img in pool.map(decode, missing):
+            self._misses += 1
+            self._cache_put(p, img)
+
     def image_batch(self, item_pos: np.ndarray) -> np.ndarray:
-        """Stacked normalized pixels for a batch of catalog positions."""
-        return np.stack([self.get_image(int(i)) for i in item_pos])
+        """Stacked normalized pixels for a batch of catalog positions.
+
+        Cache misses decode in parallel on the thread pool before the
+        (cache-hitting) stack pass.
+        """
+        positions = [int(i) for i in item_pos]
+        self._ensure_images_cached(positions)
+        return np.stack([self.get_image(i) for i in positions])
 
     def image_batch_uint8(self, item_pos: np.ndarray) -> np.ndarray:
-        """Raw uint8 HWC frames (device-side normalization path)."""
+        """Raw uint8 HWC frames (device-side normalization path); decodes
+        run concurrently on the thread pool."""
         spec = PREPROCESS_SPECS[self.vision_model]
-        out = np.zeros((len(item_pos), spec.crop_size, spec.crop_size, 3),
+        positions = [int(i) for i in item_pos]
+        out = np.zeros((len(positions), spec.crop_size, spec.crop_size, 3),
                        dtype=np.uint8)
-        for j, i in enumerate(item_pos):
-            frame = self._image_processor.load_image_uint8(
-                f"{self.image_folder}/{self.item_ids[int(i)]}.jpg")
+
+        def decode(i):
+            return self._image_processor.load_image_uint8(
+                f"{self.image_folder}/{self.item_ids[i]}.jpg")
+
+        pool = self._get_decode_pool()
+        frames = (pool.map(decode, positions) if pool is not None
+                  else map(decode, positions))
+        for j, frame in enumerate(frames):
             if frame is not None:
                 out[j] = frame
         return out

@@ -117,3 +117,50 @@ class TestPrefetchLoader:
         overlapped = time.time() - t0
         serial_estimate = n * (produce_s + consume_s)
         assert overlapped < serial_estimate * 0.85
+
+
+class TestParallelDecode:
+    """Thread-pool JPEG decode in the feature store's image tier (the host
+    input stage the reference parallelized with DataLoader workers,
+    reference scripts/train.py:105-126)."""
+
+    @staticmethod
+    def _store(tmp_path, n=24, workers=None):
+        from PIL import Image
+        from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+        rng = np.random.default_rng(0)
+        folder = tmp_path / 'imgs'
+        folder.mkdir(exist_ok=True)
+        ids = np.asarray([f'it{j}' for j in range(n)])
+        for j in range(n):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(folder / f'it{j}.jpg')
+        kw = {} if workers is None else {'decode_workers': workers}
+        return ItemFeatureStore(n, ids, vision_model='resnet',
+                                image_folder=str(folder), **kw)
+
+    def test_parallel_equals_serial(self, tmp_path):
+        pos = np.asarray([3, 7, 1, 7, 20, 0])
+        par = self._store(tmp_path)
+        ser = self._store(tmp_path, workers=1)
+        np.testing.assert_array_equal(par.image_batch(pos),
+                                      ser.image_batch(pos))
+        np.testing.assert_array_equal(par.image_batch_uint8(pos),
+                                      ser.image_batch_uint8(pos))
+        # Second call is a pure cache hit, still identical.
+        np.testing.assert_array_equal(par.image_batch(pos),
+                                      ser.image_batch(pos))
+
+    def test_lru_bound_holds_under_parallel_decode(self, tmp_path):
+        store = self._store(tmp_path)
+        store._max_image_cache_items = 5
+        store.image_batch(np.arange(24))
+        assert len(store._image_cache) <= 5
+
+    def test_store_pickles_without_pool(self, tmp_path):
+        import pickle
+        store = self._store(tmp_path)
+        store.image_batch(np.arange(8))  # pool instantiated
+        clone = pickle.loads(pickle.dumps(store))
+        np.testing.assert_array_equal(clone.image_batch(np.asarray([2, 4])),
+                                      store.image_batch(np.asarray([2, 4])))
