@@ -45,7 +45,8 @@ class CatalogScorer:
 
     def __init__(self, model, variables: Dict, feature_store,
                  item_chunk: int = 8192, user_chunk: int = 64,
-                 mesh=None, fast_path: bool = True):
+                 mesh=None, fast_path: bool = True,
+                 tile_users: int = 64, tile_items: int = 128):
         self.model = model
         self.variables = variables
         self.store = feature_store
@@ -59,6 +60,10 @@ class CatalogScorer:
         self.n_pad = pad_to_multiple(self.n_items,
                                      self.item_chunk * self._model_size)
         self.user_chunk = user_chunk
+        # Pallas tile geometry; defaults are the measured v5e optimum
+        # (see the sweep table in _fast_topk_body).
+        self.tile_users = tile_users
+        self.tile_items = tile_items
         self._sharded_fns: Dict = {}
         if mesh is not None:
             # Model weights replicate over the mesh (they're small); without
@@ -212,7 +217,7 @@ class CatalogScorer:
         offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         # Pad the user block to the kernel's user-tile multiple.
-        TB = 64
+        TB = self.tile_users
         B_pad = ((B + TB - 1) // TB) * TB
         uf = jnp.zeros((B_pad, user_first.shape[1]),
                        user_first.dtype).at[:B].set(user_first)
@@ -220,8 +225,9 @@ class CatalogScorer:
         # Tile geometry is VMEM-bounded: activations are [TB*TC, h1].
         # Measured on v5e (65k catalog, [512,256,128] head): 16x128 =
         # 287M pairs/s, 32x256 = 299M, 64x128 = 307M (best), 64x256 =
-        # VMEM OOM (20.2M > 16M scoped limit).
-        TC = 128
+        # VMEM OOM (20.2M > 16M scoped limit); round-2 sweep: 128x64 and
+        # 32x128 slower, 64x128 confirmed.
+        TC = self.tile_items
 
         def body(carry, xs):
             chunk, off = xs

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Full-catalog scoring throughput for the NON-concatenate fusion paths.
+
+bench.py's headline covers concatenate fusion (the factorized/Pallas fast
+path). This measures attention and gated fusion through the generic
+``_score_block`` scan (inference/scorer.py) — the path the reference runs
+per 256-item batch on host (/root/reference/src/inference/recommender.py:96)
+— so BASELINE.md can record all three fusion types on hardware.
+
+Usage: python scripts/bench_fusion.py [attention|gated|concatenate] [n_users]
+Prints one JSON line per run on stdout.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N_ITEMS = 65536
+N_TAGS = 64
+EMB = 64
+VISION_DIM = 2048
+LANG_DIM = 384
+NUM_FEAT = 7
+HIDDEN = (512, 256, 128)
+TOP_K = 50
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
+          user_chunk: int = 256) -> float:
+    import jax
+    import jax.numpy as jnp
+    from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+    from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+    from pixelrec_multimodal_tpu.models.multimodal import MultimodalRecommender
+
+    log(f"devices: {jax.devices()}; fusion={fusion_type}")
+    model = MultimodalRecommender(
+        n_users=4096, n_items=N_ITEMS, n_tags=N_TAGS,
+        num_numerical_features=NUM_FEAT, embedding_dim=EMB,
+        vision_feature_dim=VISION_DIM, language_feature_dim=LANG_DIM,
+        use_contrastive=False, fusion_hidden_dims=HIDDEN,
+        fusion_type=fusion_type, use_batch_norm=True, dropout_rate=0.0,
+        dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+    store.tables['tag_idx'] = rng.integers(0, N_TAGS, N_ITEMS).astype(np.int32)
+    store.tables['numerical'] = rng.standard_normal(
+        (N_ITEMS, NUM_FEAT)).astype(np.float32)
+    store.tables['vision_emb'] = rng.standard_normal(
+        (N_ITEMS, VISION_DIM)).astype(np.float32)
+    store.tables['language_emb'] = rng.standard_normal(
+        (N_ITEMS, LANG_DIM)).astype(np.float32)
+
+    B = 8
+    variables = model.init(
+        {'params': jax.random.PRNGKey(0)},
+        jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        vision_features=jnp.zeros((B, VISION_DIM), jnp.float32),
+        language_features=jnp.zeros((B, LANG_DIM), jnp.float32),
+        numerical_features=jnp.zeros((B, NUM_FEAT), jnp.float32),
+        train=False)
+
+    scorer = CatalogScorer(model, variables, store, item_chunk=item_chunk,
+                           user_chunk=user_chunk)
+    log(f"fast path active: {scorer._head is not None}")
+    users = rng.integers(0, 4096, n_users).astype(np.int32)
+
+    t0 = time.time()
+    scorer.top_k(users[:user_chunk], TOP_K)
+    log(f"compile+first block: {time.time() - t0:.1f}s")
+
+    rates = []
+    for r in range(3):
+        t0 = time.time()
+        scorer.top_k(users, TOP_K)
+        dt = time.time() - t0
+        rates.append(n_users * N_ITEMS / dt)
+        log(f"run {r + 1}: {dt:.2f}s -> {rates[-1]:,.0f} pairs/s")
+    return float(np.median(rates))
+
+
+def main():
+    fusion = sys.argv[1] if len(sys.argv) > 1 else 'gated'
+    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    pps = bench(fusion, n_users)
+    print(json.dumps({
+        'metric': f'full_catalog_topk_pairs_per_sec_{fusion}',
+        'value': round(pps, 1), 'unit': 'pairs/sec/chip'}), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -184,7 +184,91 @@ def bench_torch_reference_style() -> float:
     return sps
 
 
+E2E_BATCH = 256
+E2E_STEPS = 8
+E2E_TEXT_LEN = 64
+
+
+def bench_e2e(freeze: bool = False) -> float:
+    """Unfrozen-encoder (raw-input) training: ResNet-50 + MiniLM-geometry
+    towers IN the train graph, bf16 encoders with rematerialization, raw
+    224x224 pixels + token ids in the batch (BASELINE.json configs #3/#4's
+    encoder-in-graph path; device-compute throughput — batches live on
+    device, host decode is measured separately by the loader tests)."""
+    import jax
+    import jax.numpy as jnp
+    from pixelrec_multimodal_tpu.config import ModelConfig
+    from pixelrec_multimodal_tpu.models.end_to_end import (
+        build_end_to_end_model, trainable_mask)
+    from pixelrec_multimodal_tpu.training.e2e_steps import (
+        init_e2e_train_state, make_e2e_step_fns)
+    from pixelrec_multimodal_tpu.training.optimizers import (
+        build_optimizer, with_frozen)
+
+    log(f"devices: {jax.devices()}")
+    mc = ModelConfig()
+    mc.vision_model = 'resnet'
+    mc.language_model = 'sentence-bert'
+    mc.embedding_dim = EMB
+    mc.fusion_hidden_dims = list(HIDDEN)
+    mc.use_contrastive = False
+    mc.dropout_rate = 0.1
+    model = build_end_to_end_model(mc, N_USERS, N_ITEMS, N_TAGS,
+                                   num_numerical_features=0,
+                                   encoder_dtype=jnp.bfloat16,
+                                   remat_encoders=True)
+    tx = build_optimizer('adamw', 1e-4, 0.01, gradient_clip=1.0)
+    state = init_e2e_train_state(model, tx, jax.random.PRNGKey(0),
+                                 text_len=E2E_TEXT_LEN)
+    if freeze:
+        tx = with_frozen(tx, trainable_mask(state.params))
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    train_step, _ = make_e2e_step_fns(model, {})
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'user_idx': jnp.asarray(
+            rng.integers(0, N_USERS, E2E_BATCH), jnp.int32),
+        'item_idx': jnp.asarray(
+            rng.integers(0, N_ITEMS, E2E_BATCH), jnp.int32),
+        'tag_idx': jnp.asarray(rng.integers(0, N_TAGS, E2E_BATCH), jnp.int32),
+        'label': jnp.asarray(rng.integers(0, 2, E2E_BATCH), jnp.float32),
+        'weight': jnp.ones((E2E_BATCH,), jnp.float32),
+        'image': jnp.asarray(
+            rng.standard_normal((E2E_BATCH, 3, 224, 224)), jnp.float32),
+        'text_input_ids': jnp.asarray(
+            rng.integers(1, 30000, (E2E_BATCH, E2E_TEXT_LEN)), jnp.int32),
+        'text_attention_mask': jnp.ones((E2E_BATCH, E2E_TEXT_LEN), jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    log(f"compiling e2e train step (freeze={freeze})...")
+    t0 = time.time()
+    state, metrics = train_step(state, dict(batch), key)
+    first = float(metrics['total_loss'])
+    log(f"compile+first step: {time.time() - t0:.1f}s (loss {first:.4f})")
+
+    t0 = time.time()
+    for s in range(E2E_STEPS):
+        state, metrics = train_step(state, dict(batch),
+                                    jax.random.fold_in(key, s))
+    last = float(metrics['total_loss'])
+    elapsed = time.time() - t0
+    sps = E2E_STEPS * E2E_BATCH / elapsed
+    log(f"tpu e2e train: {E2E_STEPS * E2E_BATCH} samples in {elapsed:.2f}s "
+        f"-> {sps:,.0f} samples/s (loss {first:.4f} -> {last:.4f})")
+    assert np.isfinite(last)
+    return sps
+
+
 def main():
+    if '--e2e' in sys.argv:
+        ours = bench_e2e(freeze='--freeze' in sys.argv)
+        print(json.dumps({
+            'metric': 'e2e_unfrozen_train_samples_per_sec',
+            'value': round(ours, 1),
+            'unit': 'samples/sec/chip'}), flush=True)
+        return
     baseline = bench_torch_reference_style()
     try:
         ours = bench_ours()
