@@ -61,7 +61,16 @@ class CatalogScorer:
                                      self.item_chunk * self._model_size)
         self.user_chunk = user_chunk
         # Pallas tile geometry; defaults are the measured v5e optimum
-        # (see the sweep table in _fast_topk_body).
+        # (see the sweep table in _fast_topk_body). Gated fusion's kernel
+        # carries f32 gate planes + the modality-wide item_first block —
+        # more VMEM per pair — so its user tile shrinks (32x128 measured
+        # 17.3M > 16M scoped-VMEM limit; 16x128 fits). Attention's
+        # unrolled (token, head) loop holds more concurrent [TB, TC, dp]
+        # temporaries and shrinks further (16x128 measured 31.6M).
+        if model.fusion_type == 'gated':
+            tile_users = min(tile_users, 16)
+        elif model.fusion_type == 'attention':
+            tile_users = min(tile_users, 8)
         self.tile_users = tile_users
         self.tile_items = tile_items
         self._sharded_fns: Dict = {}
@@ -80,25 +89,44 @@ class CatalogScorer:
         self._pad_mask = np.zeros(self.n_pad, dtype=bool)
         self._pad_mask[self.n_items:] = True  # True = invalid (padding)
 
-        # Fused factorized scoring head (concatenate fusion only): the
-        # prediction MLP with BatchNorm folded, first layer split into
-        # user/item parts, pair scoring as a Pallas kernel
-        # (ops/pairwise_mlp.py). ~2x FLOP cut + VMEM-resident activations.
+        # Fused factorized scoring head (all three fusion types): the
+        # prediction MLP with BatchNorm folded, per-item work precomputed
+        # once per catalog, pair scoring as a Pallas kernel
+        # (ops/pairwise_mlp.py, ops/attention_scorer.py).
+        # ``_item_fast`` is the tuple of per-item precomputed tables:
+        # concat    -> (item_first [n_pad, h1],)
+        # gated     -> (item_first [n_pad, Mi*h1], item_gates [n_pad, GATE_PAD])
+        # attention -> (raw, q, k, vo, sii) token/head tables.
         self._head = None
-        self._item_first = None
-        if fast_path and model.fusion_type == 'concatenate':
+        self._item_fast = None
+        if fast_path and model.fusion_type in ('concatenate', 'gated'):
             from ..ops.pairwise_mlp import (
                 build_factorized_head,
                 compute_item_first,
+                compute_item_side_gated,
             )
             self._head = build_factorized_head(variables, model)
             if self._head is not None:
-                item_flat = self._item_feats.reshape(self.n_pad, -1)
-                self._item_first = compute_item_first(
-                    self._head, item_flat)  # [n_pad, h1]
-                if mesh is not None:
-                    self._item_first = jax.device_put(
-                        self._item_first, item_table_sharding(mesh))
+                if model.fusion_type == 'concatenate':
+                    item_flat = self._item_feats.reshape(self.n_pad, -1)
+                    self._item_fast = (
+                        compute_item_first(self._head, item_flat),)
+                else:
+                    self._item_fast = compute_item_side_gated(
+                        self._head, self._item_feats)
+        elif fast_path and model.fusion_type == 'attention':
+            from ..ops.attention_scorer import (
+                build_attention_head,
+                compute_item_side_attention,
+            )
+            self._head = build_attention_head(variables, model)
+            if self._head is not None:
+                self._item_fast = compute_item_side_attention(
+                    self._head, self._item_feats)
+        if self._item_fast is not None and mesh is not None:
+            self._item_fast = tuple(
+                jax.device_put(a, item_table_sharding(mesh))
+                for a in self._item_fast)
         self._use_pallas = jax.default_backend() == 'tpu'
 
     # ------------------------------------------------------------- item tower
@@ -191,36 +219,53 @@ class CatalogScorer:
                                        invalid_mask, k, jnp.int32(0))
 
     # ------------------------------------------------------ fast (factorized)
-    def _fast_topk_body(self, variables, item_first: jnp.ndarray,
+    def _fast_topk_body(self, variables, item_fast: Tuple[jnp.ndarray, ...],
                         user_idx: jnp.ndarray, seen_items: jnp.ndarray,
                         k: int, base) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Streaming top-k over a (slice of the) catalog through the fused
-        pairwise-MLP kernel. item_first: [n_local, h1] precomputed item-side
-        first layer; ``base`` offsets local positions to global item ids.
+        pairwise-MLP kernel. item_fast: per-item precomputed tables (concat:
+        first-layer part; gated: + gate logits), each [n_local, ...];
+        ``base`` offsets local positions to global item ids.
 
         seen_items: [B, H] per-user excluded GLOBAL item positions padded
         with -1 — a compact mask representation built in-graph per chunk
         (B x C x H compares on the VPU), avoiding a dense [B, n_pad]
         host->device transfer per call.
         """
+        from ..ops.attention_scorer import (
+            compute_user_side_attention,
+            pallas_attention_scores,
+            xla_attention_scores,
+        )
         from ..ops.pairwise_mlp import (
             compute_user_first,
+            compute_user_side_gated,
             pallas_pairwise_scores,
+            pallas_pairwise_scores_gated,
             xla_pairwise_scores,
+            xla_pairwise_scores_gated,
         )
+        fusion = self._head['fusion']
         B = user_idx.shape[0]
         C = self.item_chunk
-        num_chunks = item_first.shape[0] // C
+        num_chunks = item_fast[0].shape[0] // C
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
-        user_first = compute_user_first(self._head, user_emb)  # [B, h1]
-        chunks = item_first.reshape(num_chunks, C, item_first.shape[-1])
+        if fusion == 'gated':
+            user_side = compute_user_side_gated(self._head, user_emb)
+        elif fusion == 'attention':
+            user_side = compute_user_side_attention(self._head, user_emb)
+        else:
+            user_side = (compute_user_first(self._head, user_emb),)
+        chunks = tuple(a.reshape((num_chunks, C) + a.shape[1:])
+                       for a in item_fast)
         offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
         # Pad the user block to the kernel's user-tile multiple.
         TB = self.tile_users
         B_pad = ((B + TB - 1) // TB) * TB
-        uf = jnp.zeros((B_pad, user_first.shape[1]),
-                       user_first.dtype).at[:B].set(user_first)
+        user_side_p = tuple(
+            jnp.zeros((B_pad,) + a.shape[1:], a.dtype).at[:B].set(a)
+            for a in user_side)
 
         # Tile geometry is VMEM-bounded: activations are [TB*TC, h1].
         # Measured on v5e (65k catalog, [512,256,128] head): 16x128 =
@@ -232,10 +277,27 @@ class CatalogScorer:
         def body(carry, xs):
             chunk, off = xs
             if self._use_pallas:
-                s = pallas_pairwise_scores(self._head, uf, chunk,
-                                           tile_users=TB, tile_items=TC)[:B]
+                if fusion == 'gated':
+                    s = pallas_pairwise_scores_gated(
+                        self._head, *user_side_p, *chunk,
+                        tile_users=TB, tile_items=TC)[:B]
+                elif fusion == 'attention':
+                    s = pallas_attention_scores(
+                        self._head, user_side_p, chunk,
+                        tile_users=TB, tile_items=TC)[:B]
+                else:
+                    s = pallas_pairwise_scores(self._head, user_side_p[0],
+                                               chunk[0], tile_users=TB,
+                                               tile_items=TC)[:B]
+            elif fusion == 'gated':
+                s = xla_pairwise_scores_gated(
+                    self._head, *(a[:B] for a in user_side_p), *chunk)
+            elif fusion == 'attention':
+                s = xla_attention_scores(
+                    self._head, tuple(a[:B] for a in user_side_p), chunk)
             else:
-                s = xla_pairwise_scores(self._head, uf[:B], chunk)
+                s = xla_pairwise_scores(self._head, user_side_p[0][:B],
+                                        chunk[0])
             cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids
             invalid = cidx[None, :] >= self.n_items       # padding
             if seen_items.shape[1] > 0:
@@ -250,10 +312,10 @@ class CatalogScorer:
         return carry
 
     @partial(jax.jit, static_argnums=(0, 5))
-    def _topk_scan_fast(self, variables, item_first: jnp.ndarray,
+    def _topk_scan_fast(self, variables, item_fast: Tuple[jnp.ndarray, ...],
                         user_idx: jnp.ndarray, seen_items: jnp.ndarray,
                         k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self._fast_topk_body(variables, item_first, user_idx,
+        return self._fast_topk_body(variables, item_fast, user_idx,
                                     seen_items, k, jnp.int32(0))
 
     # --------------------------------------------------------- sharded top-k
@@ -278,6 +340,8 @@ class CatalogScorer:
         n_local = self.n_pad // self._model_size
         body = self._fast_topk_body if fast else self._generic_topk_body
         mask_spec = P(DATA_AXIS) if fast else P(DATA_AXIS, MODEL_AXIS)
+        item_spec = (tuple(P(MODEL_AXIS) for _ in self._item_fast)
+                     if fast else P(MODEL_AXIS))
 
         def local_fn(variables, item_table, user_idx, mask):
             base = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * n_local
@@ -289,7 +353,7 @@ class CatalogScorer:
 
         fn = jax.jit(shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(MODEL_AXIS), P(DATA_AXIS), mask_spec),
+            in_specs=(P(), item_spec, P(DATA_AXIS), mask_spec),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False))
         self._sharded_fns[key] = fn
@@ -355,11 +419,11 @@ class CatalogScorer:
                     seen = np.zeros((Bp, 0), dtype=np.int32)
                 if self.mesh is not None:
                     v, i = self._sharded_topk(k, fast=True)(
-                        self.variables, self._item_first,
+                        self.variables, self._item_fast,
                         jnp.asarray(users_p), jnp.asarray(seen))
                 else:
                     v, i = self._topk_scan_fast(
-                        self.variables, self._item_first,
+                        self.variables, self._item_fast,
                         jnp.asarray(users_p), jnp.asarray(seen), k)
             else:
                 invalid = np.broadcast_to(self._pad_mask,

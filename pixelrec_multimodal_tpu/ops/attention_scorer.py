@@ -1,0 +1,423 @@
+# pixelrec_multimodal_tpu/ops/attention_scorer.py
+"""Fused full-catalog scoring for ATTENTION fusion.
+
+Attention fusion (models/layers.py AttentionFusionLayer, parity target
+/root/reference/src/models/layers.py:104-164) runs multi-head self-attention
+over the (user, item-modality) token stack, residual + LayerNorm, mean-pool,
+then the prediction MLP. The first Dense does not factorize (LayerNorm sits
+on pair-dependent attention outputs), but almost everything FEEDING the
+attention is user- or item-side separable:
+
+  * Q/K/V projections of item tokens depend only on the item -> precomputed
+    per catalog, like the factorized heads in ops/pairwise_mlp.py.
+  * The out-projection is linear per head, so it folds into the item/user V
+    tables: ``vo_k^h = V_k^h @ W_o^h`` — the per-pair attention output is
+    then a softmax-weighted sum of precomputed D-vectors.
+  * Item-item attention logits depend only on the item -> a per-item
+    [H, T_i, T_i] table. Only the user<->item logits are per-pair, and they
+    are tiny K=D matmuls on the MXU.
+
+The Pallas kernel therefore does, per (user-tile x item-tile): pairwise
+logits, a lane-stacked masked softmax per (query token, head), the weighted
+vo sum, residual + LayerNorm + token mean, and the same lane-padded MLP
+chain as the concat/gated kernels. Replaces the reference's batch-256 host
+scoring loop (/root/reference/src/inference/recommender.py:96-236) for
+attention-fusion models.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.multimodal import activation_fn
+from .pairwise_mlp import (
+    LANE,
+    _apply_final,
+    _mlp_chain,
+    _round_up,
+    fold_prediction_mlp,
+    pack_mlp_chain,
+    pad2,
+)
+
+LN_EPS = 1e-6  # flax nn.LayerNorm default (models/layers.py:75)
+
+
+def build_attention_head(variables: dict, model) -> Optional[dict]:
+    """Pack attention + LayerNorm + BN-folded MLP params for the fused
+    scorer. Returns None for non-attention fusion or unfoldable BN."""
+    if model.fusion_type != 'attention':
+        return None
+    folded = fold_prediction_mlp(variables, model)
+    if folded is None:
+        return None
+    kernels, biases = folded
+    n_hidden = len(model.fusion_hidden_dims)
+    h1, padded_b1, layers = pack_mlp_chain(kernels, biases, n_hidden)
+
+    params = variables['params']
+    fl = params['fusion_layer']
+    attn = fl['attention']
+    ln = fl['norm']
+    d = model.embedding_dim
+    dp = _round_up(d, LANE)
+
+    wq = np.asarray(attn['query']['kernel'], np.float32)   # [D, H, dh]
+    _, H, dh = wq.shape
+
+    head = {
+        'fusion': 'attention',
+        'd': d, 'dp': dp, 'H': H, 'dh': dh,
+        'n_item_mods': model.num_modalities - 1,
+        'h1': h1,
+        'b1': padded_b1,
+        'layers': layers,
+        'activation': model.fusion_activation,
+        'final_activation': model.final_activation,
+        'w1': jnp.asarray(pad2(kernels[0], dp, h1)),        # [dp, h1]
+        'ln_scale': jnp.asarray(np.asarray(ln['scale'], np.float32)),
+        'ln_bias': jnp.asarray(np.asarray(ln['bias'], np.float32)),
+    }
+    for name in ('query', 'key', 'value'):
+        w = np.asarray(attn[name]['kernel'], np.float32).reshape(d, H * dh)
+        b = np.asarray(attn[name]['bias'], np.float32).reshape(H * dh)
+        head[f'w_{name}'] = jnp.asarray(w)
+        head[f'b_{name}'] = jnp.asarray(b)
+    head['w_out'] = jnp.asarray(
+        np.asarray(attn['out']['kernel'], np.float32).reshape(H * dh, d))
+    head['b_out'] = jnp.asarray(np.asarray(attn['out']['bias'], np.float32))
+    return head
+
+
+def _pad_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Zero-pad the minor dim of [..., d] to ``width``."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def _qkvo(head: dict, tokens: jnp.ndarray
+          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """tokens [..., D] -> (q_scaled, k, vo) with q pre-scaled by 1/sqrt(dh)
+    and the out-projection folded per head into vo [..., H, D]."""
+    H, dh, d = head['H'], head['dh'], head['d']
+    f = tokens.astype(jnp.float32)
+    q = (f @ head['w_query'] + head['b_query']) / math.sqrt(dh)
+    k = f @ head['w_key'] + head['b_key']
+    v = f @ head['w_value'] + head['b_value']
+    vh = v.reshape(v.shape[:-1] + (H, dh))
+    wo = head['w_out'].reshape(H, dh, d)
+    vo = jnp.einsum('...hd,hde->...he', vh, wo)            # [..., H, D]
+    return q, k, vo
+
+
+def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, ...]:
+    """Per-item precompute, once per catalog.
+
+    item_feats [N, Mi, D] (raw item-token stack from the item tower) ->
+      it_raw [N, Mi*dp]    residual/LN inputs, token-lane-padded
+      it_q   [N, Mi*dp]    scaled queries
+      it_k   [N, Mi*dp]    keys
+      it_vo  [N, Mi*H*dp]  per-(token, head) out-projected values
+      it_sii [N, H*Mi*Mi]  item-item attention logits (softmax inputs)
+    """
+    N, Mi, d = item_feats.shape
+    dp, H, dh = head['dp'], head['H'], head['dh']
+    q, k, vo = _qkvo(head, item_feats)               # q,k [N,Mi,H*dh]; vo [N,Mi,H,D]
+    qh = q.reshape(N, Mi, H, dh)
+    kh = k.reshape(N, Mi, H, dh)
+    sii = jnp.einsum('nthd,nkhd->nhtk', qh, kh)      # [N, H, Mi, Mi]
+    # The out-projection bias is constant per token and lands before the
+    # residual LayerNorm — fold it into the raw (residual) tables.
+    it_raw = _pad_lanes(item_feats.astype(jnp.float32) + head['b_out'],
+                        dp).reshape(N, Mi * dp)
+    it_q = _pad_lanes(q, dp).reshape(N, Mi * dp)
+    it_k = _pad_lanes(k, dp).reshape(N, Mi * dp)
+    it_vo = _pad_lanes(vo, dp).reshape(N, Mi * H * dp)
+    it_sii = sii.reshape(N, H * Mi * Mi)
+    return it_raw, it_q, it_k, it_vo, it_sii
+
+
+def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, ...]:
+    """Per-user-block precompute.
+
+    user_emb [B, D] ->
+      u_raw [B, dp], u_q [B, dp], u_k [B, dp], u_vo [B, H*dp],
+      u_suu [B, 8]  (user-token self-attention logit per head, padded)
+    """
+    dp, H, dh = head['dp'], head['H'], head['dh']
+    B = user_emb.shape[0]
+    q, k, vo = _qkvo(head, user_emb)                 # [B, H*dh], vo [B, H, D]
+    suu = jnp.sum(q.reshape(B, H, dh) * k.reshape(B, H, dh), axis=-1)
+    suu8 = jnp.zeros((B, 8), jnp.float32).at[:, :H].set(suu)
+    return (_pad_lanes(user_emb.astype(jnp.float32) + head['b_out'], dp),
+            _pad_lanes(q, dp), _pad_lanes(k, dp),
+            _pad_lanes(vo, dp).reshape(B, H * dp), suu8)
+
+
+# --------------------------------------------------------------- XLA fallback
+def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
+                         item_side: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Reference math for the fused attention path: -> [B, C] scores.
+
+    Identical results to score_from_towers in eval mode; used on non-TPU
+    platforms and by correctness tests.
+    """
+    act = activation_fn(head['activation'])
+    d, dp, H, dh = head['d'], head['dp'], head['H'], head['dh']
+    Mi = head['n_item_mods']
+    T = Mi + 1
+    u_raw, u_q, u_k, u_vo, u_suu = user_side
+    it_raw, it_q, it_k, it_vo, it_sii = item_side
+    B, C = u_raw.shape[0], it_raw.shape[0]
+
+    uq = u_q[:, :d].reshape(B, H, dh)
+    uk = u_k[:, :d].reshape(B, H, dh)
+    iq = it_q.reshape(C, Mi, dp)[..., :d].reshape(C, Mi, H, dh)
+    ik = it_k.reshape(C, Mi, dp)[..., :d].reshape(C, Mi, H, dh)
+
+    # Logits [B, C, H, T(query), T(key)].
+    s = jnp.zeros((B, C, H, T, T), jnp.float32)
+    s = s.at[:, :, :, 0, 0].set(u_suu[:, None, :H])
+    s = s.at[:, :, :, 0, 1:].set(
+        jnp.einsum('bhd,cmhd->bchm', uq, ik))        # user queries items
+    s = s.at[:, :, :, 1:, 0].set(
+        jnp.einsum('cmhd,bhd->bchm', iq, uk))        # items query user
+    sii = it_sii.reshape(C, H, Mi, Mi)
+    s = s.at[:, :, :, 1:, 1:].set(
+        jnp.broadcast_to(sii[None], (B, C, H, Mi, Mi)))
+    w = jax.nn.softmax(s, axis=-1)                   # over keys
+
+    vo = jnp.concatenate([
+        jnp.broadcast_to(u_vo.reshape(B, 1, 1, H, dp),
+                         (B, C, 1, H, dp)),
+        jnp.broadcast_to(it_vo.reshape(1, C, Mi, H, dp),
+                         (B, C, Mi, H, dp)),
+    ], axis=2)                                       # [B, C, T(key), H, dp]
+    attn = jnp.einsum('bchqk,bckhd->bcqd', w, vo)    # b_out folded into raw
+
+    raw = jnp.concatenate([
+        jnp.broadcast_to(u_raw.reshape(B, 1, 1, dp), (B, C, 1, dp)),
+        jnp.broadcast_to(it_raw.reshape(1, C, Mi, dp), (B, C, Mi, dp)),
+    ], axis=2)                                       # [B, C, T, dp]
+    y = raw[..., :d] + attn[..., :d]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    yn = (y - mu) * jax.lax.rsqrt(var + LN_EPS)
+    yn = yn * head['ln_scale'] + head['ln_bias']
+    fused = jnp.mean(yn, axis=2)                     # [B, C, d]
+
+    x = act(fused.reshape(B * C, d) @ head['w1'][:d] + head['b1'])
+    for i, (wl, bl) in enumerate(head['layers']):
+        x = x @ wl + bl
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
+
+
+# --------------------------------------------------------------- Pallas kernel
+def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
+                      it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+                      b1_ref, w1_ref, *rest_refs,
+                      out_ref, attn_scr, fused_scr,
+                      n_layers, n_item_mods, H, dh, d, dp, h1,
+                      ln_scale_ref, ln_bias_ref,
+                      activation, final_activation, compute_dtype):
+    """One (user-tile x item-tile) block of attention-fusion pair scores.
+
+    All slicing is static lax.slice at lane-group-aligned offsets (dp=128
+    per token / per (token, head) vo group); softmax runs lane-stacked over
+    an 8-wide key axis per (query token, head) — the same gather-free
+    patterns as the gated kernel. The two [TB, TC, dp] f32 accumulators
+    live in explicit VMEM scratch (``attn_scr``/``fused_scr``): the token
+    loop is python-unrolled and SSA accumulators would pile up live values
+    past the 16MB scoped-VMEM limit (measured 31.9M).
+    """
+    act = activation_fn(activation)
+    f32 = jnp.float32
+    Mi, T = n_item_mods, n_item_mods + 1
+    u_raw = u_raw_ref[:].astype(f32)        # [TB, dp]
+    u_q = u_q_ref[:].astype(f32)
+    u_k = u_k_ref[:].astype(f32)
+    u_suu = u_suu_ref[:]                    # [TB, 8] f32
+    it_raw = it_raw_ref[:].astype(f32)      # [TC, Mi*dp]
+    it_q = it_q_ref[:].astype(f32)
+    it_k = it_k_ref[:].astype(f32)
+    it_sii = it_sii_ref[:]                  # [TC, H*Mi*Mi] f32
+    ln_scale = ln_scale_ref[:]              # [dp] f32 (padded zeros)
+    ln_bias = ln_bias_ref[:]
+    TB, TC = u_raw.shape[0], it_raw.shape[0]
+
+    def nt_matmul(a, b):  # [TB, dp] x [TC, dp] -> [TB, TC]
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def head_mask(h):  # [1, dp] f32: 1.0 on head h's dh lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
+        return jnp.where((lane >= h * dh) & (lane < (h + 1) * dh), 1.0, 0.0)
+
+    def it_tok(arr, m):  # [TC, dp] token slice
+        return jax.lax.slice(arr, (0, m * dp), (TC, (m + 1) * dp))
+
+    def it_vo_slice(m, h):  # [TC, dp] (read from the ref on demand)
+        off = (m * H + h) * dp
+        return jax.lax.slice(it_vo_ref[:], (0, off),
+                             (TC, off + dp)).astype(f32)
+
+    def u_vo_slice(h):  # [TB, dp]
+        return jax.lax.slice(u_vo_ref[:], (0, h * dp),
+                             (TB, (h + 1) * dp)).astype(f32)
+
+    # Pairwise logits per head: s_ui[h][m], s_iu[h][m] ([TB, TC] planes).
+    s_ui = [[nt_matmul(u_q * head_mask(h), it_tok(it_k, m))
+             for m in range(Mi)] for h in range(H)]
+    s_iu = [[nt_matmul(u_k * head_mask(h), it_tok(it_q, m))
+             for m in range(Mi)] for h in range(H)]
+
+    # Lane-index live mask, hoisted ([1, 1, dp] broadcasts for free).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2)
+    live = lane < d
+    inv_T = 1.0 / T
+
+    fused_scr[:] = jnp.zeros((TB, TC, dp), f32)
+    for t in range(T):
+        # Attention output for query token t, summed over heads and keys.
+        attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
+        for h in range(H):
+            # Lane-stacked logits [TB, TC, 8]: lane 0 = user key,
+            # lanes 1..Mi = item keys, rest masked.
+            if t == 0:
+                l_user = jax.lax.slice(u_suu, (0, h), (TB, h + 1))[:, None, :]
+                l_user = jnp.broadcast_to(l_user, (TB, TC, 1))
+                l_items = [s_ui[h][m][:, :, None] for m in range(Mi)]
+            else:
+                l_user = s_iu[h][t - 1][:, :, None]
+                base = (h * Mi + (t - 1)) * Mi
+                l_items = []
+                for m in range(Mi):
+                    v = jax.lax.slice(it_sii, (0, base + m),
+                                      (TC, base + m + 1))  # [TC, 1]
+                    l_items.append(jnp.broadcast_to(v[None], (TB, TC, 1)))
+            parts = [l_user] + l_items
+            if T < 8:
+                parts.append(jnp.full((TB, TC, 8 - T), -1e30, f32))
+            logit = jnp.concatenate(parts, axis=-1)
+            mx = jnp.max(logit, axis=-1, keepdims=True)
+            e = jnp.exp(logit - mx)
+            w = e / jnp.sum(e, axis=-1, keepdims=True)   # [TB, TC, 8]
+
+            def wk(j):  # [TB, TC, 1]
+                return jax.lax.slice(w, (0, 0, j), (TB, TC, j + 1))
+
+            # Per-term read-modify-write on the scratch ref: keeps each
+            # unrolled iteration's live temporaries to one [TB, TC, dp]
+            # product (Mosaic allocates scoped VMEM per live SSA value).
+            attn_scr[:] = attn_scr[:] + wk(0) * u_vo_slice(h)[:, None, :]
+            for m in range(Mi):
+                attn_scr[:] = (attn_scr[:]
+                               + wk(m + 1) * it_vo_slice(m, h)[None, :, :])
+
+        # Residual + LayerNorm over the d live lanes, then token-mean
+        # (b_out is folded into the raw tables at precompute).
+        raw_t = (u_raw[:, None, :] if t == 0
+                 else it_tok(it_raw, t - 1)[None, :, :])
+        y = jnp.where(live, raw_t + attn_scr[:], 0.0)
+        mu = jnp.sum(y, axis=-1, keepdims=True) * (1.0 / d)
+        yc = jnp.where(live, y - mu, 0.0)
+        var = jnp.sum(yc * yc, axis=-1, keepdims=True) * (1.0 / d)
+        yn = yc * jax.lax.rsqrt(var + LN_EPS)
+        fused_scr[:] = fused_scr[:] + (
+            yn * ln_scale[None, None, :]
+            + jnp.where(live, ln_bias[None, None, :], 0.0)) * inv_T
+
+    x = fused_scr[:].astype(compute_dtype).reshape(TB * TC, dp)
+    w1 = w1_ref[:].astype(compute_dtype)
+    b1 = b1_ref[:].astype(compute_dtype)
+    x = jnp.dot(x, w1, preferred_element_type=f32)
+    x = act((x + b1).astype(compute_dtype))
+    scores = _mlp_chain(x, rest_refs, n_layers, act, final_activation,
+                        compute_dtype)
+    out_ref[:] = scores.reshape(TB, TC)
+
+
+def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
+                            item_side: Tuple[jnp.ndarray, ...],
+                            tile_users: int = 8, tile_items: int = 128,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused attention-fusion pair scoring on TPU: -> [B, C] f32 scores."""
+    from jax.experimental import pallas as pl
+
+    u_raw, u_q, u_k, u_vo, u_suu = user_side
+    it_raw, it_q, it_k, it_vo, it_sii = item_side
+    B, dp = u_raw.shape
+    C = it_raw.shape[0]
+    n_layers = len(head['layers'])
+    grid = (B // tile_users, C // tile_items)
+
+    def u_spec(a):
+        return pl.BlockSpec((tile_users, a.shape[1]), lambda i, j: (i, 0))
+
+    def it_spec(a):
+        return pl.BlockSpec((tile_items, a.shape[1]), lambda i, j: (j, 0))
+
+    layer_specs, layer_args = [], []
+    for w, b in head['layers']:
+        layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+        layer_args.extend([w, b])
+
+    ln_scale = _pad_lanes(head['ln_scale'], dp)
+    ln_bias = _pad_lanes(head['ln_bias'], dp)
+
+    kernel = functools.partial(
+        _attention_kernel, n_layers=n_layers,
+        n_item_mods=head['n_item_mods'], H=head['H'], dh=head['dh'],
+        d=head['d'], dp=dp, h1=head['h1'],
+        activation=head['activation'],
+        final_activation=head['final_activation'],
+        compute_dtype=compute_dtype)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def wrapped(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
+                it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+                b1_ref, w1_ref, ln_scale_ref, ln_bias_ref, *rest):
+        *layer_refs, out_ref, attn_scr, fused_scr = rest
+        kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
+               it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+               b1_ref, w1_ref, *layer_refs, out_ref=out_ref,
+               attn_scr=attn_scr, fused_scr=fused_scr,
+               ln_scale_ref=ln_scale_ref, ln_bias_ref=ln_bias_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            u_spec(u_raw), u_spec(u_q), u_spec(u_k), u_spec(u_vo),
+            u_spec(u_suu),
+            it_spec(it_raw), it_spec(it_q), it_spec(it_k), it_spec(it_vo),
+            it_spec(it_sii),
+            pl.BlockSpec(head['b1'].shape, lambda i, j: (0,)),
+            pl.BlockSpec(head['w1'].shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(ln_scale.shape, lambda i, j: (0,)),
+            pl.BlockSpec(ln_bias.shape, lambda i, j: (0,)),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_users, tile_items),
+                               lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_users, tile_items, dp), jnp.float32),
+            pltpu.VMEM((tile_users, tile_items, dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u_raw, u_q, u_k, u_vo, u_suu,
+      it_raw, it_q, it_k, it_vo, it_sii,
+      head['b1'], head['w1'], ln_scale, ln_bias, *layer_args)

@@ -34,32 +34,34 @@ import numpy as np
 from ..models.multimodal import activation_fn
 
 LANE = 128
+GATE_PAD = 8  # gated-fusion gate vectors pad the modality axis to this width
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def build_factorized_head(variables: dict, model) -> Optional[dict]:
-    """Build the factorized, BN-folded head from a full variables dict
-    ({'params': ..., 'batch_stats': ...})."""
-    if model.fusion_type != 'concatenate':
-        return None
+def fold_prediction_mlp(variables: dict, model
+                        ) -> Optional[Tuple[List[np.ndarray],
+                                            List[np.ndarray]]]:
+    """Fold eval-mode BatchNorm into the prediction MLP's Dense kernels.
+
+    PredictionMLP runs Dense->act->BN->Dropout per hidden layer (reference
+    multimodal.py:366-386); BN after layer i is affine in eval mode,
+    ``h' = a*h + c`` with a = scale/sqrt(var+eps), c = bias - mean*a, so it
+    folds into layer i+1: W' = a[:,None]*W, b' = b + c @ W. Returns the
+    folded (kernels, biases) lists, or None when BN has no running stats.
+    """
     params = variables['params']
     stats = variables.get('batch_stats', {})
     pn = params['prediction_network']
     pn_stats = stats.get('prediction_network', {}) if stats else {}
     n_hidden = len(model.fusion_hidden_dims)
-    d = model.embedding_dim
 
     kernels = [np.asarray(pn[f'Dense_{i}']['kernel'], np.float32)
                for i in range(n_hidden + 1)]
     biases = [np.asarray(pn[f'Dense_{i}']['bias'], np.float32)
               for i in range(n_hidden + 1)]
-
-    # Fold eval-mode BatchNorm after layer i into layer i+1:
-    # h' = a*h + c with a = scale/sqrt(var+eps), c = bias - mean*a
-    # => W_{i+1}' = a[:,None] * W_{i+1};  b_{i+1}' += c @ W_{i+1}.
     for i in range(n_hidden):
         name = f'BatchNorm_{i}'
         if model.use_batch_norm and name in pn:
@@ -76,24 +78,29 @@ def build_factorized_head(variables: dict, model) -> Optional[dict]:
             # the bias correction uses the ORIGINAL kernel.
             biases[i + 1] = biases[i + 1] + c @ kernels[i + 1]
             kernels[i + 1] = a[:, None] * kernels[i + 1]
+    return kernels, biases
 
+
+def pad2(w: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Zero-pad a 2D matrix to [rows, cols] (lane-multiple MXU tiling)."""
+    out = np.zeros((rows, cols), np.float32)
+    out[:w.shape[0], :w.shape[1]] = w
+    return out
+
+
+def pack_mlp_chain(kernels: List[np.ndarray], biases: List[np.ndarray],
+                   n_hidden: int
+                   ) -> Tuple[int, jnp.ndarray,
+                              List[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Lane-pad the folded MLP chain: returns (h1, padded first bias,
+    [(W, b)] for layers 1..n_hidden+1 with the final layer padded to one
+    lane group — only column 0 is live, see _mlp_chain)."""
     w1, b1 = kernels[0], biases[0]
-    w_user, w_item = w1[:d], w1[d:]
-
-    # Pad all dims to lane multiples for clean MXU tiling.
-    def pad2(w, rows, cols):
-        out = np.zeros((rows, cols), np.float32)
-        out[:w.shape[0], :w.shape[1]] = w
-        return out
-
     h1 = _round_up(w1.shape[1], LANE)
-    padded_w_user = pad2(w_user, _round_up(d, LANE), h1)[:d]
-    padded_w_item = pad2(w_item, _round_up(w_item.shape[0], LANE),
-                         h1)[:w_item.shape[0]]
     padded_b1 = np.zeros(h1, np.float32)
     padded_b1[:b1.shape[0]] = b1
 
-    layers: List[Tuple[np.ndarray, np.ndarray]] = []
+    layers: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     prev = h1
     for i in range(1, n_hidden + 1):
         w, b = kernels[i], biases[i]
@@ -101,17 +108,74 @@ def build_factorized_head(variables: dict, model) -> Optional[dict]:
         wp = pad2(w, prev, cols)
         bp = np.zeros(cols, np.float32)
         bp[:b.shape[0]] = b
-        layers.append((wp, bp))
+        layers.append((jnp.asarray(wp), jnp.asarray(bp)))
         prev = cols
+    return h1, jnp.asarray(padded_b1), layers
 
-    return {
-        'w_user': jnp.asarray(padded_w_user),
-        'w_item': jnp.asarray(padded_w_item),
-        'b1': jnp.asarray(padded_b1),
-        'layers': [(jnp.asarray(w), jnp.asarray(b)) for w, b in layers],
+
+def build_factorized_head(variables: dict, model) -> Optional[dict]:
+    """Build the factorized, BN-folded head from a full variables dict
+    ({'params': ..., 'batch_stats': ...}).
+
+    Two fusion types factorize exactly:
+
+      * ``concatenate`` — the first Dense over ``concat(user, item...)``
+        splits by rows into a user part and an item part (module docstring).
+      * ``gated`` — the gate logits ``concat @ W_g`` split the same way
+        (user rows + item rows, pairwise ADD then softmax over the modality
+        axis), and the first Dense distributes over the softmax-weighted sum:
+        ``fused @ W1 = sum_m g_m * (feat_m @ W1)`` — every ``feat_m @ W1``
+        is user- or item-side precomputable. Per pair only the M-way softmax
+        and an (M+1)-term weighted h1-vector sum remain (VPU work).
+
+    ``attention`` fusion does not factorize (LayerNorm over pair-dependent
+    attention outputs sits before the first Dense) and returns None.
+    """
+    if model.fusion_type not in ('concatenate', 'gated'):
+        return None
+    folded = fold_prediction_mlp(variables, model)
+    if folded is None:
+        return None
+    kernels, biases = folded
+    params = variables['params']
+    n_hidden = len(model.fusion_hidden_dims)
+    d = model.embedding_dim
+
+    w1, b1 = kernels[0], biases[0]
+    h1, padded_b1, layers = pack_mlp_chain(kernels, biases, n_hidden)
+
+    head = {
+        'fusion': model.fusion_type,
+        'b1': padded_b1,
+        'layers': layers,
         'activation': model.fusion_activation,
         'final_activation': model.final_activation,
     }
+
+    if model.fusion_type == 'concatenate':
+        w_user, w_item = w1[:d], w1[d:]
+        head['w_user'] = jnp.asarray(pad2(w_user, _round_up(d, LANE), h1)[:d])
+        head['w_item'] = jnp.asarray(
+            pad2(w_item, _round_up(w_item.shape[0], LANE),
+                 h1)[:w_item.shape[0]])
+        return head
+
+    # gated: W1 applies to the D-dim fused vector; the gating Dense splits
+    # into user rows + per-item-modality rows (models/layers.py:86-96, fusion
+    # order user first — multimodal.py:228-239).
+    gating = params['fusion_layer']['gating']
+    wg = np.asarray(gating['kernel'], np.float32)   # [M*d, M]
+    bg = np.asarray(gating['bias'], np.float32)     # [M]
+    n_mod = wg.shape[1]
+    n_item_mods = n_mod - 1
+    head['w_fused'] = jnp.asarray(pad2(w1, _round_up(d, LANE), h1)[:d])
+    head['wg_user'] = jnp.asarray(wg[:d])                       # [d, M]
+    head['wg_item'] = jnp.asarray(
+        wg[d:].reshape(n_item_mods, d, n_mod))                  # [Mi, d, M]
+    head['bg'] = jnp.asarray(bg)
+    head['n_item_mods'] = n_item_mods
+    head['h1'] = h1
+    return head
 
 
 def _apply_final(x, final_activation: str):
@@ -137,6 +201,24 @@ def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
     return scores.reshape(B, C)
 
 
+def _mlp_chain(x, layer_refs, n_layers, act, final_activation, compute_dtype):
+    """Hidden Dense chain + final-layer VPU reduce on a [rows, h1] block."""
+    for i in range(n_layers - 1):
+        w = layer_refs[2 * i][:].astype(compute_dtype)
+        b = layer_refs[2 * i + 1][:].astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        x = act((x + b).astype(compute_dtype))
+    # Final layer has ONE live output column (padded to a full lane for
+    # storage): a VPU multiply-reduce against that column costs 2*width
+    # FLOPs/pair instead of a 2*width*LANE MXU matmul that discards 127
+    # of 128 columns.
+    w_last = layer_refs[2 * (n_layers - 1)][:].astype(compute_dtype)
+    b_last = layer_refs[2 * (n_layers - 1) + 1][:]
+    s = jnp.sum(x.astype(jnp.float32) * w_last[:, 0].astype(jnp.float32),
+                axis=1) + b_last[0].astype(jnp.float32)
+    return _apply_final(s, final_activation)
+
+
 def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
                      out_ref, n_layers, activation, final_activation,
                      compute_dtype):
@@ -152,20 +234,60 @@ def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
 
     x = act(u[:, None, :] + it[None, :, :] + b1[None, None, :])
     x = x.reshape(TB * TC, -1)
-    for i in range(n_layers - 1):
-        w = layer_refs[2 * i][:].astype(compute_dtype)
-        b = layer_refs[2 * i + 1][:].astype(compute_dtype)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        x = act((x + b).astype(compute_dtype))
-    # Final layer has ONE live output column (padded to a full lane for
-    # storage): a VPU multiply-reduce against that column costs 2*width
-    # FLOPs/pair instead of a 2*width*LANE MXU matmul that discards 127
-    # of 128 columns.
-    w_last = layer_refs[2 * (n_layers - 1)][:].astype(compute_dtype)
-    b_last = layer_refs[2 * (n_layers - 1) + 1][:]
-    s = jnp.sum(x.astype(jnp.float32) * w_last[:, 0].astype(jnp.float32),
-                axis=1) + b_last[0].astype(jnp.float32)
-    scores = _apply_final(s, final_activation)
+    scores = _mlp_chain(x, layer_refs, n_layers, act, final_activation,
+                        compute_dtype)
+    out_ref[:] = scores.reshape(TB, TC)
+
+
+def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
+                           item_gates_ref, b1_ref, *layer_refs,
+                           out_ref, n_layers, n_item_mods, h1, activation,
+                           final_activation, compute_dtype):
+    """Gated-fusion pair scoring: softmax gates from pairwise-added logit
+    planes, weighted sum of precomputed first-layer parts, then the Dense
+    chain. Gate math stays in [TB, TC] planes (lane-friendly; the modality
+    axis M is a static python loop, M <= 6)."""
+    act = activation_fn(activation)
+    # Gate math stays f32 (Mosaic lane-broadcasts from width 1 are 32-bit
+    # only, and the VPU computes elementwise math at f32 rate regardless).
+    # Everything below uses static lax.slice + broadcasts — integer fancy
+    # indexing (``ug[:, m]``) lowers to ``gather``, which Mosaic rejects.
+    uf = user_first_ref[:].astype(jnp.float32)     # [TB, h1]
+    ug = user_gates_ref[:]                         # [TB, GATE_PAD] f32
+    itf = item_first_ref[:].astype(jnp.float32)    # [TC, Mi*h1]
+    ig = item_gates_ref[:]                         # [TC, GATE_PAD] f32
+    b1 = b1_ref[:].astype(jnp.float32)
+    TB, TC = uf.shape[0], itf.shape[0]
+    n_mod = n_item_mods + 1
+    gw = ug.shape[1]
+
+    # Softmax over the modality axis, lane-parallel on the GATE_PAD-wide
+    # minor dim (padding lanes masked out).
+    logit = ug[:, None, :] + ig[None, :, :]        # [TB, TC, gw]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (TB, TC, gw), 2) < n_mod
+    mx = jnp.max(jnp.where(mask, logit, -1e30), axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(logit - mx), 0.0)
+    gates = e / jnp.sum(e, axis=-1, keepdims=True)  # [TB, TC, gw]
+
+    def gate(m):  # [TB, TC, 1] static slice, no gather
+        return jax.lax.slice(gates, (0, 0, m), (TB, TC, m + 1))
+
+    # Build the first-layer activation one 128-lane h1-slice at a time: only
+    # one f32 [TB, TC, LANE] accumulator is live per step (the full f32
+    # [TB, TC, h1] block blows the 16MB scoped-VMEM limit at useful tiles);
+    # each slice lands in the bf16 x buffer that feeds the MXU chain.
+    slices = []
+    for blk in range(h1 // LANE):
+        lo = blk * LANE
+        acc = gate(0) * uf[:, lo:lo + LANE][:, None, :]
+        for m in range(n_item_mods):
+            off = m * h1 + lo
+            acc = acc + gate(m + 1) * itf[:, off:off + LANE][None, :, :]
+        slices.append(
+            act(acc + b1[lo:lo + LANE][None, None, :]).astype(compute_dtype))
+    x = jnp.concatenate(slices, axis=-1).reshape(TB * TC, h1)
+    scores = _mlp_chain(x, layer_refs, n_layers, act, final_activation,
+                        compute_dtype)
     out_ref[:] = scores.reshape(TB, TC)
 
 
@@ -218,6 +340,87 @@ def pallas_pairwise_scores(head: dict, user_first: jnp.ndarray,
     )(user_first, item_first, head['b1'], *layer_args)
 
 
+def xla_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
+                              user_gates: jnp.ndarray,
+                              item_first: jnp.ndarray,
+                              item_gates: jnp.ndarray) -> jnp.ndarray:
+    """Reference math for the gated fast path: [B,...] x [C,...] -> [B,C]."""
+    act = activation_fn(head['activation'])
+    n_mod = head['n_item_mods'] + 1
+    h1 = head['h1']
+    B, C = user_first.shape[0], item_first.shape[0]
+    logits = user_gates[:, None, :n_mod] + item_gates[None, :, :n_mod]
+    g = jax.nn.softmax(logits, axis=-1)                     # [B, C, M]
+    x = g[:, :, 0, None] * user_first[:, None, :]
+    for m in range(head['n_item_mods']):
+        x = x + g[:, :, m + 1, None] * item_first[None, :, m * h1:(m + 1) * h1]
+    x = act(x + head['b1']).reshape(B * C, h1)
+    for i, (w, b) in enumerate(head['layers']):
+        x = x @ w + b
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
+
+
+def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
+                                 user_gates: jnp.ndarray,
+                                 item_first: jnp.ndarray,
+                                 item_gates: jnp.ndarray,
+                                 tile_users: int = 16, tile_items: int = 128,
+                                 compute_dtype=jnp.bfloat16,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Fused gated-fusion pair scoring on TPU.
+
+    user_first [B, h1], user_gates [B, GW], item_first [C, Mi*h1],
+    item_gates [C, GW]; B % tile_users == 0 and C % tile_items == 0.
+    """
+    from jax.experimental import pallas as pl
+
+    B, h1 = user_first.shape
+    C = item_first.shape[0]
+    gw = user_gates.shape[1]
+    n_layers = len(head['layers'])
+    grid = (B // tile_users, C // tile_items)
+
+    layer_specs = []
+    layer_args = []
+    for w, b in head['layers']:
+        layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+        layer_args.extend([w, b])
+
+    kernel = functools.partial(
+        _gated_pairwise_kernel, n_layers=n_layers,
+        n_item_mods=head['n_item_mods'], h1=head['h1'],
+        activation=head['activation'],
+        final_activation=head['final_activation'],
+        compute_dtype=compute_dtype)
+
+    def wrapped(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *rest):
+        *layer_refs, out_ref = rest
+        kernel(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *layer_refs,
+               out_ref=out_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_users, h1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_users, gw), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_items, item_first.shape[1]),
+                         lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_items, gw), lambda i, j: (j, 0)),
+            pl.BlockSpec((h1,), lambda i, j: (0,)),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_users, tile_items),
+                               lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        interpret=interpret,
+    )(user_first, user_gates, item_first, item_gates, head['b1'],
+      *layer_args)
+
+
 def compute_item_first(head: dict, item_flat: jnp.ndarray) -> jnp.ndarray:
     """Per-item first-layer part, computed once per catalog:
     item_flat [N, D_item] @ W_item -> [N, h1] (bias folded at pair time)."""
@@ -227,3 +430,35 @@ def compute_item_first(head: dict, item_flat: jnp.ndarray) -> jnp.ndarray:
 def compute_user_first(head: dict, user_emb: jnp.ndarray) -> jnp.ndarray:
     """Per-user first-layer part: user_emb [B, d] @ W_user -> [B, h1]."""
     return user_emb.astype(jnp.float32) @ head['w_user']
+
+
+def _pad_gates(g: jnp.ndarray) -> jnp.ndarray:
+    """Pad the modality axis to GATE_PAD sublane width. The kernel block
+    covers the full minor dim (block dim == array dim, so no 128-lane
+    constraint) and masks the padding lanes out of the softmax."""
+    return jnp.zeros((g.shape[0], GATE_PAD),
+                     jnp.float32).at[:, :g.shape[1]].set(
+        g.astype(jnp.float32))
+
+
+def compute_item_side_gated(head: dict, item_feats: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-item precompute for gated fusion, once per catalog.
+
+    item_feats [N, Mi, D] ->
+      item_first [N, Mi*h1]: each modality's ``feat @ W1`` laid side by side;
+      item_gates [N, GATE_PAD]: item-side gate-logit rows (+ gate bias).
+    """
+    f32 = item_feats.astype(jnp.float32)
+    first = jnp.einsum('nmd,dh->nmh', f32, head['w_fused'])
+    n = first.shape[0]
+    gates = jnp.einsum('nmd,mdg->ng', f32, head['wg_item']) + head['bg']
+    return first.reshape(n, -1), _pad_gates(gates)
+
+
+def compute_user_side_gated(head: dict, user_emb: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-user precompute for gated fusion: (user_first [B, h1],
+    user_gates [B, GATE_PAD])."""
+    f32 = user_emb.astype(jnp.float32)
+    return f32 @ head['w_fused'], _pad_gates(f32 @ head['wg_user'])

@@ -36,7 +36,7 @@ def log(*a):
 
 
 def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
-          user_chunk: int = 256) -> float:
+          user_chunk: int = 256, fast_path: bool = True) -> float:
     import jax
     import jax.numpy as jnp
     from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
@@ -73,7 +73,7 @@ def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
         train=False)
 
     scorer = CatalogScorer(model, variables, store, item_chunk=item_chunk,
-                           user_chunk=user_chunk)
+                           user_chunk=user_chunk, fast_path=fast_path)
     log(f"fast path active: {scorer._head is not None}")
     users = rng.integers(0, 4096, n_users).astype(np.int32)
 
@@ -92,11 +92,14 @@ def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
 
 
 def main():
-    fusion = sys.argv[1] if len(sys.argv) > 1 else 'gated'
-    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    pps = bench(fusion, n_users)
+    args = [a for a in sys.argv[1:] if a != '--generic']
+    fast_path = '--generic' not in sys.argv
+    fusion = args[0] if args else 'gated'
+    n_users = int(args[1]) if len(args) > 1 else 256
+    pps = bench(fusion, n_users, fast_path=fast_path)
+    suffix = '' if fast_path else '_generic'
     print(json.dumps({
-        'metric': f'full_catalog_topk_pairs_per_sec_{fusion}',
+        'metric': f'full_catalog_topk_pairs_per_sec_{fusion}{suffix}',
         'value': round(pps, 1), 'unit': 'pairs/sec/chip'}), flush=True)
 
 

@@ -9,21 +9,26 @@ from pixelrec_multimodal_tpu.models.multimodal import MultimodalRecommender
 from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
     build_factorized_head,
     compute_item_first,
+    compute_item_side_gated,
     compute_user_first,
+    compute_user_side_gated,
     pallas_pairwise_scores,
+    pallas_pairwise_scores_gated,
     xla_pairwise_scores,
+    xla_pairwise_scores_gated,
 )
 
 N_USERS, N_ITEMS, N_TAGS = 8, 20, 3
 
 
-def make_model(use_batch_norm=True, final_activation='sigmoid'):
+def make_model(use_batch_norm=True, final_activation='sigmoid',
+               fusion_type='concatenate'):
     return MultimodalRecommender(
         n_users=N_USERS, n_items=N_ITEMS, n_tags=N_TAGS,
         num_numerical_features=2, embedding_dim=8,
         vision_feature_dim=6, language_feature_dim=5,
         use_contrastive=False, fusion_hidden_dims=(32, 16),
-        fusion_type='concatenate', use_batch_norm=use_batch_norm,
+        fusion_type=fusion_type, use_batch_norm=use_batch_norm,
         dropout_rate=0.2, final_activation=final_activation)
 
 
@@ -93,16 +98,95 @@ class TestFactorizedHead:
         np.testing.assert_allclose(np.asarray(fast), np.asarray(generic),
                                    rtol=2e-4, atol=2e-5)
 
-    def test_non_concat_returns_none(self):
+    def test_attention_returns_none(self):
+        """Attention fusion can't factorize (pair-dependent LayerNorm)."""
         model = MultimodalRecommender(
             n_users=4, n_items=8, n_tags=2, num_numerical_features=0,
-            embedding_dim=8, fusion_hidden_dims=(16,), fusion_type='gated',
+            embedding_dim=8, fusion_hidden_dims=(16,),
+            fusion_type='attention', num_attention_heads=2,
             use_contrastive=False)
         variables = model.init({'params': jax.random.PRNGKey(0)},
                                jnp.zeros(2, jnp.int32),
                                jnp.zeros(2, jnp.int32),
                                jnp.zeros(2, jnp.int32), train=False)
         assert build_factorized_head(variables, model) is None
+
+
+def _item_user_sides(model, variables, B=4, C=12, seed=1):
+    """Common fixtures: item tower feats + user embeddings + generic scores."""
+    rng = np.random.default_rng(seed)
+    item_idx = jnp.arange(C, dtype=jnp.int32) % N_ITEMS
+    tag_idx = item_idx % N_TAGS
+    kw = dict(
+        vision_features=jnp.asarray(rng.standard_normal((C, 6)), jnp.float32),
+        language_features=jnp.asarray(rng.standard_normal((C, 5)),
+                                      jnp.float32),
+        numerical_features=jnp.asarray(rng.standard_normal((C, 2)),
+                                       jnp.float32))
+    item_feats = model.apply(variables, item_idx, tag_idx,
+                             method='item_tower', **kw)  # [C, M, D]
+    user_idx = jnp.arange(B, dtype=jnp.int32)
+    user_emb = model.apply(variables, user_idx, method='user_tower')
+    ue = jnp.repeat(user_emb, C, axis=0)
+    it = jnp.tile(item_feats, (B, 1, 1))
+    generic = model.apply(variables, ue, it,
+                          method='score_from_towers').reshape(B, C)
+    return item_feats, user_emb, generic
+
+
+class TestGatedFactorizedHead:
+    @pytest.mark.parametrize('use_bn', [True, False])
+    @pytest.mark.parametrize('final', ['sigmoid', 'tanh', 'none'])
+    def test_matches_generic_path(self, use_bn, final):
+        """Gated factorized scoring == the flax score_from_towers path."""
+        model = make_model(use_batch_norm=use_bn, final_activation=final,
+                           fusion_type='gated')
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        assert head is not None and head['fusion'] == 'gated'
+
+        item_feats, user_emb, generic = _item_user_sides(model, variables)
+        item_first, item_gates = compute_item_side_gated(head, item_feats)
+        user_first, user_gates = compute_user_side_gated(head, user_emb)
+        fast = xla_pairwise_scores_gated(head, user_first, user_gates,
+                                         item_first, item_gates)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(generic),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_pallas_interpret_matches_xla(self):
+        model = make_model(fusion_type='gated')
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        item_feats, user_emb, _ = _item_user_sides(model, variables, B=16,
+                                                   C=128)
+        # Pad item side to one full tile (as the scorer's catalog pad does).
+        item_first, item_gates = compute_item_side_gated(head, item_feats)
+        user_first, user_gates = compute_user_side_gated(head, user_emb)
+        ref = xla_pairwise_scores_gated(head, user_first, user_gates,
+                                        item_first, item_gates)
+        out = pallas_pairwise_scores_gated(
+            head, user_first, user_gates, item_first, item_gates,
+            tile_users=16, tile_items=128, compute_dtype=jnp.float32,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_tile_grid_interpret(self):
+        model = make_model(use_batch_norm=False, fusion_type='gated')
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        item_feats, user_emb, _ = _item_user_sides(model, variables, B=32,
+                                                   C=256, seed=5)
+        item_first, item_gates = compute_item_side_gated(head, item_feats)
+        user_first, user_gates = compute_user_side_gated(head, user_emb)
+        ref = xla_pairwise_scores_gated(head, user_first, user_gates,
+                                        item_first, item_gates)
+        out = pallas_pairwise_scores_gated(
+            head, user_first, user_gates, item_first, item_gates,
+            tile_users=16, tile_items=128, compute_dtype=jnp.float32,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestPallasKernel:
@@ -143,12 +227,13 @@ class TestPallasKernel:
 
 
 class TestScorerFastPathIntegration:
-    def test_topk_fast_matches_generic(self):
+    @pytest.mark.parametrize('fusion', ['concatenate', 'gated'])
+    def test_topk_fast_matches_generic(self, fusion):
         """CatalogScorer with fast path on == off, same top-k results."""
         from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
         from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
 
-        model = make_model()
+        model = make_model(fusion_type=fusion)
         variables = init_variables(model)
         rng = np.random.default_rng(4)
         store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))

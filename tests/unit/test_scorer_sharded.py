@@ -55,8 +55,9 @@ class TestShardedScorer:
     @pytest.mark.parametrize('fusion_type,model_parallel', [
         ('concatenate', 2),   # fast (factorized/pairwise) path
         ('concatenate', 4),
-        ('attention', 2),     # generic _score_block path
-        ('gated', 2),
+        ('attention', 2),     # fast (attention factorized) path
+        ('gated', 2),         # fast (gated factorized) path
+        ('gated', 4),
     ])
     def test_sharded_topk_matches_single_device(self, devices, fusion_type,
                                                 model_parallel):
@@ -66,10 +67,24 @@ class TestShardedScorer:
         mesh = make_mesh(model_parallel=model_parallel)
         sharded = CatalogScorer(model, variables, store, item_chunk=64,
                                 user_chunk=16, mesh=mesh)
-        if fusion_type == 'concatenate':
-            assert sharded._head is not None  # fast path active
+        assert sharded._head is not None  # fast path active for all three
         users = np.asarray([0, 3, 7, 11, 19, 30, 1], np.int32)  # odd count
 
+        v0, i0 = base.top_k(users, 10)
+        v1, i1 = sharded.top_k(users, 10)
+        np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i1, i0)
+
+    def test_sharded_generic_path_matches(self, devices):
+        """The generic (non-factorized) sharded scan path stays covered."""
+        model, variables, store = _setup('attention')
+        base = CatalogScorer(model, variables, store, item_chunk=64,
+                             user_chunk=16, fast_path=False)
+        mesh = make_mesh(model_parallel=2)
+        sharded = CatalogScorer(model, variables, store, item_chunk=64,
+                                user_chunk=16, mesh=mesh, fast_path=False)
+        assert sharded._head is None
+        users = np.asarray([0, 3, 7, 11, 19], np.int32)
         v0, i0 = base.top_k(users, 10)
         v1, i1 = sharded.top_k(users, 10)
         np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
