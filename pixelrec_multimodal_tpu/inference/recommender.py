@@ -22,7 +22,8 @@ class Recommender:
     """Wraps a trained model + dataset for top-K generation and pair scoring."""
 
     def __init__(self, model, variables: Dict, dataset,
-                 item_chunk: int = 8192, user_chunk: int = 64, mesh=None):
+                 item_chunk: int = 8192, user_chunk: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,

@@ -44,9 +44,10 @@ class CatalogScorer:
     """Scores users against the full catalog with a fixed trained model."""
 
     def __init__(self, model, variables: Dict, feature_store,
-                 item_chunk: int = 8192, user_chunk: int = 64,
+                 item_chunk: int = 8192, user_chunk: Optional[int] = None,
                  mesh=None, fast_path: bool = True,
-                 tile_users: int = 64, tile_items: int = 128):
+                 tile_users: Optional[int] = None,
+                 tile_items: Optional[int] = None):
         self.model = model
         self.variables = variables
         self.store = feature_store
@@ -59,20 +60,23 @@ class CatalogScorer:
         # shard holds a whole number of scan chunks.
         self.n_pad = pad_to_multiple(self.n_items,
                                      self.item_chunk * self._model_size)
+        # Per device call there is ~31ms fixed dispatch/fetch overhead
+        # through the TPU tunnel — big user blocks amortize it (measured:
+        # gated fusion 106M pairs/s at 256-user blocks vs ~2x that at
+        # 1024). Small default off-TPU keeps CPU tests/compiles cheap.
+        if user_chunk is None:
+            user_chunk = 1024 if jax.default_backend() == 'tpu' else 64
         self.user_chunk = user_chunk
-        # Pallas tile geometry; defaults are the measured v5e optimum
-        # (see the sweep table in _fast_topk_body). Gated fusion's kernel
-        # carries f32 gate planes + the modality-wide item_first block —
-        # more VMEM per pair — so its user tile shrinks (32x128 measured
-        # 17.3M > 16M scoped-VMEM limit; 16x128 fits). Attention's
-        # unrolled (token, head) loop holds more concurrent [TB, TC, dp]
-        # temporaries and shrinks further (16x128 measured 31.6M).
-        if model.fusion_type == 'gated':
-            tile_users = min(tile_users, 16)
-        elif model.fusion_type == 'attention':
-            tile_users = min(tile_users, 8)
+        # Pallas tile geometry; per-fusion defaults are the measured v5e
+        # optima (sweep table in _fast_topk_body). Gated carries the
+        # modality-wide item_first block plus gate planes, attention the
+        # per-(token, head) vo tables and [TB, TC, dp] accumulators — both
+        # use more VMEM per pair than concat, so their user tiles shrink.
+        defaults = {'concatenate': 64, 'gated': 32, 'attention': 8}
+        if tile_users is None:
+            tile_users = defaults.get(model.fusion_type, 32)
         self.tile_users = tile_users
-        self.tile_items = tile_items
+        self.tile_items = tile_items if tile_items else 128
         self._sharded_fns: Dict = {}
         if mesh is not None:
             # Model weights replicate over the mesh (they're small); without
@@ -128,6 +132,12 @@ class CatalogScorer:
                 jax.device_put(a, item_table_sharding(mesh))
                 for a in self._item_fast)
         self._use_pallas = jax.default_backend() == 'tpu'
+        if self._head is None and model.fusion_type == 'attention':
+            # Generic attention scoring materializes [B*C, H, T, T]
+            # attention intermediates per chunk — 256-user blocks measured
+            # 25GB HBM at the 65k-catalog bench geometry. Keep the
+            # fallback path at small user blocks.
+            self.user_chunk = min(self.user_chunk, 64)
 
     # ------------------------------------------------------------- item tower
     def _build_item_tower(self) -> jnp.ndarray:

@@ -124,7 +124,9 @@ def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
       it_q   [N, Mi*dp]    scaled queries
       it_k   [N, Mi*dp]    keys
       it_vo  [N, Mi*H*dp]  per-(token, head) out-projected values
-      it_sii [N, H*Mi*Mi]  item-item attention logits (softmax inputs)
+      it_sii [N, H*Mi*Mi]  item-item attention logits (softmax inputs;
+                           transposed to lane vectors inside
+                           pallas_attention_scores, per chunk)
     """
     N, Mi, d = item_feats.shape
     dp, H, dh = head['dp'], head['H'], head['dh']
@@ -223,7 +225,7 @@ def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
 
 # --------------------------------------------------------------- Pallas kernel
 def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-                      it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+                      it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
                       b1_ref, w1_ref, *rest_refs,
                       out_ref, attn_scr, fused_scr,
                       n_layers, n_item_mods, H, dh, d, dp, h1,
@@ -232,12 +234,22 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     """One (user-tile x item-tile) block of attention-fusion pair scores.
 
     All slicing is static lax.slice at lane-group-aligned offsets (dp=128
-    per token / per (token, head) vo group); softmax runs lane-stacked over
-    an 8-wide key axis per (query token, head) — the same gather-free
-    patterns as the gated kernel. The two [TB, TC, dp] f32 accumulators
-    live in explicit VMEM scratch (``attn_scr``/``fused_scr``): the token
-    loop is python-unrolled and SSA accumulators would pile up live values
-    past the 16MB scoped-VMEM limit (measured 31.9M).
+    per token / per (token, head) vo group). The softmax over keys runs on
+    fully-packed 2D [TB, TC] PLANES — one plane per key — never on arrays
+    with a tiny minor dim: Mosaic pads the minor (lane) dim to 128, so a
+    [TB, TC, 8] logit stack occupies 16x its logical VMEM and every softmax
+    temporary with it (the first version of this kernel did that and blew
+    the 16MB scoped-VMEM limit at 16-user tiles, then ran at 8.6M pairs/s
+    at 8-user tiles). Per-item key logits arrive pre-transposed
+    (``it_siiT`` [H*Mi*Mi, TC]) so each row is a ready [1, TC] lane vector.
+
+    The two cross-iteration accumulators ([TB, TC, dp] f32) live in
+    explicit VMEM scratch with ONE read-modify-write per (token, head):
+    Mosaic does not coalesce an SSA accumulator's versions across a
+    python-unrolled loop, so ``fused = fused + ...`` holds T live copies
+    (measured 29.1M scoped VMEM at 16x128 without scratch). Within one
+    (t, h) step the contrib chain is SSA — those temporaries do get
+    reused once the iteration closes with the scratch write.
     """
     act = activation_fn(activation)
     f32 = jnp.float32
@@ -249,7 +261,7 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     it_raw = it_raw_ref[:].astype(f32)      # [TC, Mi*dp]
     it_q = it_q_ref[:].astype(f32)
     it_k = it_k_ref[:].astype(f32)
-    it_sii = it_sii_ref[:]                  # [TC, H*Mi*Mi] f32
+    it_siiT = it_siiT_ref[:]                # [H*Mi*Mi, TC] f32
     ln_scale = ln_scale_ref[:]              # [dp] f32 (padded zeros)
     ln_bias = ln_bias_ref[:]
     TB, TC = u_raw.shape[0], it_raw.shape[0]
@@ -265,14 +277,16 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     def it_tok(arr, m):  # [TC, dp] token slice
         return jax.lax.slice(arr, (0, m * dp), (TC, (m + 1) * dp))
 
-    def it_vo_slice(m, h):  # [TC, dp] (read from the ref on demand)
+    def it_vo_slice(m, h):  # [TC, dp]
+        # Slice the REF, not a full read: ``it_vo_ref[:]`` materializes
+        # the whole [TC, Mi*H*dp] table as a fresh value per call site —
+        # 20 call sites x 1MB was the real source of the 29M scoped-VMEM
+        # blowup, not the accumulators.
         off = (m * H + h) * dp
-        return jax.lax.slice(it_vo_ref[:], (0, off),
-                             (TC, off + dp)).astype(f32)
+        return it_vo_ref[:, off:off + dp].astype(f32)
 
     def u_vo_slice(h):  # [TB, dp]
-        return jax.lax.slice(u_vo_ref[:], (0, h * dp),
-                             (TB, (h + 1) * dp)).astype(f32)
+        return u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
 
     # Pairwise logits per head: s_ui[h][m], s_iu[h][m] ([TB, TC] planes).
     s_ui = [[nt_matmul(u_q * head_mask(h), it_tok(it_k, m))
@@ -280,7 +294,7 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     s_iu = [[nt_matmul(u_k * head_mask(h), it_tok(it_q, m))
              for m in range(Mi)] for h in range(H)]
 
-    # Lane-index live mask, hoisted ([1, 1, dp] broadcasts for free).
+    # Lane-index live mask ([1, 1, dp] broadcasts for free).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2)
     live = lane < d
     inv_T = 1.0 / T
@@ -290,38 +304,37 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         # Attention output for query token t, summed over heads and keys.
         attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
         for h in range(H):
-            # Lane-stacked logits [TB, TC, 8]: lane 0 = user key,
-            # lanes 1..Mi = item keys, rest masked.
+            # Key logits as [TB, TC] planes: index 0 = user key,
+            # 1..Mi = item keys.
             if t == 0:
-                l_user = jax.lax.slice(u_suu, (0, h), (TB, h + 1))[:, None, :]
-                l_user = jnp.broadcast_to(l_user, (TB, TC, 1))
-                l_items = [s_ui[h][m][:, :, None] for m in range(Mi)]
+                l_user = jnp.broadcast_to(
+                    jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
+                planes = [l_user] + [s_ui[h][m] for m in range(Mi)]
             else:
-                l_user = s_iu[h][t - 1][:, :, None]
                 base = (h * Mi + (t - 1)) * Mi
-                l_items = []
-                for m in range(Mi):
-                    v = jax.lax.slice(it_sii, (0, base + m),
-                                      (TC, base + m + 1))  # [TC, 1]
-                    l_items.append(jnp.broadcast_to(v[None], (TB, TC, 1)))
-            parts = [l_user] + l_items
-            if T < 8:
-                parts.append(jnp.full((TB, TC, 8 - T), -1e30, f32))
-            logit = jnp.concatenate(parts, axis=-1)
-            mx = jnp.max(logit, axis=-1, keepdims=True)
-            e = jnp.exp(logit - mx)
-            w = e / jnp.sum(e, axis=-1, keepdims=True)   # [TB, TC, 8]
+                planes = [s_iu[h][t - 1]] + [
+                    jnp.broadcast_to(
+                        jax.lax.slice(it_siiT, (base + m, 0),
+                                      (base + m + 1, TC)), (TB, TC))
+                    for m in range(Mi)]
+            # Plane softmax over the T keys (all 2D f32, fully packed).
+            mx = planes[0]
+            for p in planes[1:]:
+                mx = jnp.maximum(mx, p)
+            es = [jnp.exp(p - mx) for p in planes]
+            tot = es[0]
+            for e in es[1:]:
+                tot = tot + e
+            inv = 1.0 / tot
 
-            def wk(j):  # [TB, TC, 1]
-                return jax.lax.slice(w, (0, 0, j), (TB, TC, j + 1))
-
-            # Per-term read-modify-write on the scratch ref: keeps each
-            # unrolled iteration's live temporaries to one [TB, TC, dp]
-            # product (Mosaic allocates scoped VMEM per live SSA value).
-            attn_scr[:] = attn_scr[:] + wk(0) * u_vo_slice(h)[:, None, :]
+            # Weighted vo sum: per key one broadcast-multiply-accumulate
+            # over the dp lanes (a linear SSA chain — at most two
+            # [TB, TC, dp] f32 values live at a time).
+            contrib = (es[0] * inv)[:, :, None] * u_vo_slice(h)[:, None, :]
             for m in range(Mi):
-                attn_scr[:] = (attn_scr[:]
-                               + wk(m + 1) * it_vo_slice(m, h)[None, :, :])
+                contrib = contrib + ((es[m + 1] * inv)[:, :, None]
+                                     * it_vo_slice(m, h)[None, :, :])
+            attn_scr[:] = attn_scr[:] + contrib
 
         # Residual + LayerNorm over the d live lanes, then token-mean
         # (b_out is folded into the raw tables at precompute).
@@ -360,6 +373,9 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
     C = it_raw.shape[0]
     n_layers = len(head['layers'])
     grid = (B // tile_users, C // tile_items)
+    # Item-item logits as lane vectors ([H*Mi*Mi, C]): one XLA transpose
+    # per chunk, so each kernel row broadcasts over users transpose-free.
+    it_siiT = it_sii.T
 
     def u_spec(a):
         return pl.BlockSpec((tile_users, a.shape[1]), lambda i, j: (i, 0))
@@ -387,11 +403,11 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
     from jax.experimental.pallas import tpu as pltpu
 
     def wrapped(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-                it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+                it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
                 b1_ref, w1_ref, ln_scale_ref, ln_bias_ref, *rest):
         *layer_refs, out_ref, attn_scr, fused_scr = rest
         kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-               it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_sii_ref,
+               it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
                b1_ref, w1_ref, *layer_refs, out_ref=out_ref,
                attn_scr=attn_scr, fused_scr=fused_scr,
                ln_scale_ref=ln_scale_ref, ln_bias_ref=ln_bias_ref)
@@ -403,7 +419,8 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
             u_spec(u_raw), u_spec(u_q), u_spec(u_k), u_spec(u_vo),
             u_spec(u_suu),
             it_spec(it_raw), it_spec(it_q), it_spec(it_k), it_spec(it_vo),
-            it_spec(it_sii),
+            pl.BlockSpec((it_siiT.shape[0], tile_items),
+                         lambda i, j: (0, j)),
             pl.BlockSpec(head['b1'].shape, lambda i, j: (0,)),
             pl.BlockSpec(head['w1'].shape, lambda i, j: (0, 0)),
             pl.BlockSpec(ln_scale.shape, lambda i, j: (0,)),
@@ -419,5 +436,5 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
         ],
         interpret=interpret,
     )(u_raw, u_q, u_k, u_vo, u_suu,
-      it_raw, it_q, it_k, it_vo, it_sii,
+      it_raw, it_q, it_k, it_vo, it_siiT,
       head['b1'], head['w1'], ln_scale, ln_bias, *layer_args)

@@ -240,13 +240,21 @@ def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
 
 
 def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
-                           item_gates_ref, b1_ref, *layer_refs,
-                           out_ref, n_layers, n_item_mods, h1, activation,
-                           final_activation, compute_dtype):
+                           item_gatesT_ref, b1_ref, *layer_refs,
+                           out_ref, x_scr, n_layers, n_item_mods, h1,
+                           activation, final_activation, compute_dtype):
     """Gated-fusion pair scoring: softmax gates from pairwise-added logit
     planes, weighted sum of precomputed first-layer parts, then the Dense
-    chain. Gate math stays in [TB, TC] planes (lane-friendly; the modality
-    axis M is a static python loop, M <= 6)."""
+    chain.
+
+    Gate math stays on fully-packed 2D [TB, TC] f32 planes, one per
+    modality (M <= 6, a static python loop) — NEVER on a [TB, TC, M]
+    stack: Mosaic pads the minor (lane) dim to 128, so the stacked form
+    costs 16x its logical VMEM on every softmax temporary (the first
+    version of this kernel did that and was VMEM-capped at 16-user
+    tiles). Item gate logits arrive pre-transposed ([GATE_PAD, TC]) so
+    each modality row is a ready [1, TC] lane vector.
+    """
     act = activation_fn(activation)
     # Gate math stays f32 (Mosaic lane-broadcasts from width 1 are 32-bit
     # only, and the VPU computes elementwise math at f32 rate regardless).
@@ -255,39 +263,46 @@ def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
     uf = user_first_ref[:].astype(jnp.float32)     # [TB, h1]
     ug = user_gates_ref[:]                         # [TB, GATE_PAD] f32
     itf = item_first_ref[:].astype(jnp.float32)    # [TC, Mi*h1]
-    ig = item_gates_ref[:]                         # [TC, GATE_PAD] f32
+    igT = item_gatesT_ref[:]                       # [GATE_PAD, TC] f32
     b1 = b1_ref[:].astype(jnp.float32)
     TB, TC = uf.shape[0], itf.shape[0]
     n_mod = n_item_mods + 1
-    gw = ug.shape[1]
 
-    # Softmax over the modality axis, lane-parallel on the GATE_PAD-wide
-    # minor dim (padding lanes masked out).
-    logit = ug[:, None, :] + ig[None, :, :]        # [TB, TC, gw]
-    mask = jax.lax.broadcasted_iota(jnp.int32, (TB, TC, gw), 2) < n_mod
-    mx = jnp.max(jnp.where(mask, logit, -1e30), axis=-1, keepdims=True)
-    e = jnp.where(mask, jnp.exp(logit - mx), 0.0)
-    gates = e / jnp.sum(e, axis=-1, keepdims=True)  # [TB, TC, gw]
+    # Softmax over the modality axis as elementwise plane math (padding
+    # columns of GATE_PAD never become planes, so no masking needed).
+    planes = [
+        jnp.broadcast_to(jax.lax.slice(ug, (0, m), (TB, m + 1)), (TB, TC))
+        + jnp.broadcast_to(jax.lax.slice(igT, (m, 0), (m + 1, TC)), (TB, TC))
+        for m in range(n_mod)]
+    mx = planes[0]
+    for p in planes[1:]:
+        mx = jnp.maximum(mx, p)
+    es = [jnp.exp(p - mx) for p in planes]
+    tot = es[0]
+    for e in es[1:]:
+        tot = tot + e
+    inv = 1.0 / tot
+    gates = [e * inv for e in es]                  # n_mod [TB, TC] planes
 
-    def gate(m):  # [TB, TC, 1] static slice, no gather
-        return jax.lax.slice(gates, (0, 0, m), (TB, TC, m + 1))
+    def gate(m):  # [TB, TC, 1] for lane-broadcast multiplies
+        return gates[m][:, :, None]
 
-    # Build the first-layer activation one 128-lane h1-slice at a time: only
-    # one f32 [TB, TC, LANE] accumulator is live per step (the full f32
-    # [TB, TC, h1] block blows the 16MB scoped-VMEM limit at useful tiles);
-    # each slice lands in the bf16 x buffer that feeds the MXU chain.
-    slices = []
+    # Build the first-layer activation one 128-lane h1-slice at a time,
+    # written straight into the bf16 ``x_scr`` VMEM scratch: only one f32
+    # [TB, TC, LANE] accumulator is live per step (a full f32 [TB, TC, h1]
+    # block — or h1/LANE of them held live by a concatenate — blows the
+    # 16MB scoped-VMEM limit at useful tiles).
     for blk in range(h1 // LANE):
         lo = blk * LANE
         acc = gate(0) * uf[:, lo:lo + LANE][:, None, :]
         for m in range(n_item_mods):
             off = m * h1 + lo
             acc = acc + gate(m + 1) * itf[:, off:off + LANE][None, :, :]
-        slices.append(
-            act(acc + b1[lo:lo + LANE][None, None, :]).astype(compute_dtype))
-    x = jnp.concatenate(slices, axis=-1).reshape(TB * TC, h1)
-    scores = _mlp_chain(x, layer_refs, n_layers, act, final_activation,
-                        compute_dtype)
+        x_scr[:, lo:lo + LANE] = act(
+            acc + b1[lo:lo + LANE][None, None, :]
+        ).astype(compute_dtype).reshape(TB * TC, LANE)
+    scores = _mlp_chain(x_scr[:], layer_refs, n_layers, act,
+                        final_activation, compute_dtype)
     out_ref[:] = scores.reshape(TB, TC)
 
 
@@ -381,6 +396,9 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
     gw = user_gates.shape[1]
     n_layers = len(head['layers'])
     grid = (B // tile_users, C // tile_items)
+    # Item gate logits as lane vectors ([GATE_PAD, C]): one XLA transpose
+    # per chunk, so each kernel row broadcasts over users transpose-free.
+    item_gatesT = item_gates.T
 
     layer_specs = []
     layer_args = []
@@ -397,9 +415,11 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
         compute_dtype=compute_dtype)
 
     def wrapped(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *rest):
-        *layer_refs, out_ref = rest
+        *layer_refs, out_ref, x_scr = rest
         kernel(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *layer_refs,
-               out_ref=out_ref)
+               out_ref=out_ref, x_scr=x_scr)
+
+    from jax.experimental.pallas import tpu as pltpu
 
     return pl.pallas_call(
         wrapped,
@@ -409,15 +429,18 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
             pl.BlockSpec((tile_users, gw), lambda i, j: (i, 0)),
             pl.BlockSpec((tile_items, item_first.shape[1]),
                          lambda i, j: (j, 0)),
-            pl.BlockSpec((tile_items, gw), lambda i, j: (j, 0)),
+            pl.BlockSpec((gw, tile_items), lambda i, j: (0, j)),
             pl.BlockSpec((h1,), lambda i, j: (0,)),
             *layer_specs,
         ],
         out_specs=pl.BlockSpec((tile_users, tile_items),
                                lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_users * tile_items, h1), compute_dtype),
+        ],
         interpret=interpret,
-    )(user_first, user_gates, item_first, item_gates, head['b1'],
+    )(user_first, user_gates, item_first, item_gatesT, head['b1'],
       *layer_args)
 
 

@@ -36,7 +36,8 @@ def log(*a):
 
 
 def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
-          user_chunk: int = 256, fast_path: bool = True) -> float:
+          user_chunk: int = 1024, fast_path: bool = True,
+          tile_users: int = 0, tile_items: int = 0) -> float:
     import jax
     import jax.numpy as jnp
     from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
@@ -72,8 +73,15 @@ def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
         numerical_features=jnp.zeros((B, NUM_FEAT), jnp.float32),
         train=False)
 
+    tile_kw = {}
+    if tile_users:
+        tile_kw['tile_users'] = tile_users
+    if tile_items:
+        tile_kw['tile_items'] = tile_items
     scorer = CatalogScorer(model, variables, store, item_chunk=item_chunk,
-                           user_chunk=user_chunk, fast_path=fast_path)
+                           user_chunk=user_chunk, fast_path=fast_path,
+                           **tile_kw)
+    log(f"tiles: {scorer.tile_users}x{scorer.tile_items}")
     log(f"fast path active: {scorer._head is not None}")
     users = rng.integers(0, 4096, n_users).astype(np.int32)
 
@@ -96,7 +104,10 @@ def main():
     fast_path = '--generic' not in sys.argv
     fusion = args[0] if args else 'gated'
     n_users = int(args[1]) if len(args) > 1 else 256
-    pps = bench(fusion, n_users, fast_path=fast_path)
+    tile_users = int(args[2]) if len(args) > 2 else 0
+    tile_items = int(args[3]) if len(args) > 3 else 0
+    pps = bench(fusion, n_users, fast_path=fast_path,
+                tile_users=tile_users, tile_items=tile_items)
     suffix = '' if fast_path else '_generic'
     print(json.dumps({
         'metric': f'full_catalog_topk_pairs_per_sec_{fusion}{suffix}',

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Kernel-only microbenchmarks for the fused pair-scoring Pallas kernels.
+
+Times pallas_pairwise_scores (concat), pallas_pairwise_scores_gated and
+pallas_attention_scores on synthetic tables OUTSIDE the scorer (no user
+tower, no top-k, no chunk scan) to separate kernel throughput from
+pipeline overhead. Sums each score matrix to a scalar so only O(1) bytes
+cross the tunnel per timed call (fetch-based timing per CLAUDE.md).
+
+Usage: python scripts/profile_fusion_kernels.py [concat|gated|attention|all]
+           [tile_users] [tile_items]
+Prints one JSON line per kernel on stdout.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+B = 1024
+C = 65536
+H1 = 512
+D = 64
+DP = 128
+MI = 4          # vision, language, tag, numerical
+HEADS = 4
+HIDDEN = (512, 256, 128)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_mlp_layers(rng):
+    import jax.numpy as jnp
+    layers = []
+    prev = H1
+    for width in (256, 128):
+        layers.append((jnp.asarray(rng.standard_normal((prev, width)),
+                                   jnp.float32) * 0.05,
+                       jnp.zeros(width, jnp.float32)))
+        prev = width
+    # final layer padded to one lane group, column 0 live
+    w = np.zeros((prev, 128), np.float32)
+    w[:, 0] = rng.standard_normal(prev) * 0.05
+    layers.append((jnp.asarray(w), jnp.zeros(128, jnp.float32)))
+    return layers
+
+
+def timed(label, fn, pairs):
+    import jax.numpy as jnp
+    float(fn())  # compile + warm
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        float(fn())
+        dt = time.time() - t0
+        rates.append(pairs / dt)
+    r = float(np.median(rates))
+    log(f"{label}: {r / 1e6:.1f}M pairs/s "
+        f"({[f'{x / 1e6:.0f}M' for x in rates]})")
+    print(json.dumps({'metric': f'kernel_{label}', 'value': round(r, 1),
+                      'unit': 'pairs/sec/chip'}), flush=True)
+    return r
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pixelrec_multimodal_tpu.ops.attention_scorer import (
+        pallas_attention_scores,
+    )
+    from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+        GATE_PAD,
+        pallas_pairwise_scores,
+        pallas_pairwise_scores_gated,
+    )
+
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    tb = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    tc = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    layers = make_mlp_layers(rng)
+    base = {'layers': layers, 'activation': 'relu',
+            'final_activation': 'sigmoid',
+            'b1': jnp.zeros(H1, jnp.float32), 'h1': H1}
+    pairs = B * C
+
+    if which in ('concat', 'all'):
+        uf = jnp.asarray(rng.standard_normal((B, H1)), jnp.float32)
+        itf = jnp.asarray(rng.standard_normal((C, H1)), jnp.float32)
+        kw = {}
+        if tb:
+            kw = {'tile_users': tb, 'tile_items': tc or 128}
+
+        @jax.jit
+        def run_concat(uf, itf):
+            return jnp.sum(pallas_pairwise_scores(base, uf, itf, **kw))
+
+        timed('concat', lambda: run_concat(uf, itf), pairs)
+
+    if which in ('gated', 'all'):
+        head = dict(base, n_item_mods=MI)
+        uf = jnp.asarray(rng.standard_normal((B, H1)), jnp.float32)
+        ug = jnp.zeros((B, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((B, MI + 1)), jnp.float32))
+        itf = jnp.asarray(rng.standard_normal((C, MI * H1)), jnp.float32)
+        ig = jnp.zeros((C, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((C, MI + 1)), jnp.float32))
+        kw = {}
+        if tb:
+            kw = {'tile_users': tb, 'tile_items': tc or 128}
+
+        @jax.jit
+        def run_gated(uf, ug, itf, ig):
+            return jnp.sum(
+                pallas_pairwise_scores_gated(head, uf, ug, itf, ig, **kw))
+
+        timed('gated', lambda: run_gated(uf, ug, itf, ig), pairs)
+
+    if which in ('attention', 'all'):
+        head = dict(base, n_item_mods=MI, H=HEADS, dh=D // HEADS, d=D,
+                    dp=DP,
+                    w1=jnp.asarray(rng.standard_normal((DP, H1)),
+                                   jnp.float32) * 0.05,
+                    ln_scale=jnp.ones(D, jnp.float32),
+                    ln_bias=jnp.zeros(D, jnp.float32))
+        user_side = (
+            jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, HEADS * DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, 8)), jnp.float32),
+        )
+        item_side = (
+            jnp.asarray(rng.standard_normal((C, MI * DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((C, MI * DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((C, MI * DP)), jnp.float32),
+            jnp.asarray(rng.standard_normal((C, MI * HEADS * DP)),
+                        jnp.float32),
+            jnp.asarray(rng.standard_normal((C, HEADS * MI * MI)),
+                        jnp.float32),
+        )
+        kw = {}
+        if tb:
+            kw = {'tile_users': tb, 'tile_items': tc or 128}
+
+        @jax.jit
+        def run_attention(user_side, item_side):
+            return jnp.sum(
+                pallas_attention_scores(head, user_side, item_side, **kw))
+
+        timed('attention', lambda: run_attention(user_side, item_side),
+              pairs)
+
+
+if __name__ == '__main__':
+    main()
