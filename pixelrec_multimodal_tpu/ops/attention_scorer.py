@@ -120,20 +120,37 @@ def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
     """Per-item precompute, once per catalog.
 
     item_feats [N, Mi, D] (raw item-token stack from the item tower) ->
-      it_raw [N, Mi*dp]    residual/LN inputs, token-lane-padded
-      it_q   [N, Mi*dp]    scaled queries
-      it_k   [N, Mi*dp]    keys
-      it_vo  [N, Mi*H*dp]  per-(token, head) out-projected values
-      it_sii [N, H*Mi*Mi]  item-item attention logits (softmax inputs;
-                           transposed to lane vectors inside
-                           pallas_attention_scores, per chunk)
+      it_raw  [N, Mi*dp]    residual/LN inputs, token-lane-padded
+      it_q    [N, Mi*dp]    scaled queries
+      it_k    [N, Mi*dp]    keys
+      it_vo   [N, Mi*H*dp]  per-(token, head) out-projected values
+      it_sii  [N, H*Mi*Mi]  item-item attention logits (XLA fallback only)
+      it_sexp [N, Mi*H*dp]  per-(query token, head) exp-weighted vo sums
+                            over the item KEYS: sum_m e_m * vo_m with
+                            e_m = exp(sii - mx_items)
+      it_dm   [N, H*Mi*2]   per-(head, query token) [sum_m e_m, mx_items]
+
+    For item-query tokens (t > 0) only the USER key's logit is
+    pair-dependent, so the kernel collapses the item-key softmax mass to
+    the precomputed (it_sexp, it_dm) pair and runs ONE exp per
+    (pair, token, head):  attn = (e_u*u_vo + sexp) / (e_u + dsum) with
+    e_u = exp(s_iu - mx_items). This drops the per-pair max over keys —
+    exact softmax up to fp rounding while logits stay within f32 exp
+    range of the item-key max (the kernel clamps the exponent at +80,
+    which degrades gracefully to the user-key-dominates limit).
     """
     N, Mi, d = item_feats.shape
     dp, H, dh = head['dp'], head['H'], head['dh']
     q, k, vo = _qkvo(head, item_feats)               # q,k [N,Mi,H*dh]; vo [N,Mi,H,D]
     qh = q.reshape(N, Mi, H, dh)
     kh = k.reshape(N, Mi, H, dh)
-    sii = jnp.einsum('nthd,nkhd->nhtk', qh, kh)      # [N, H, Mi, Mi]
+    sii = jnp.einsum('nthd,nkhd->nhtk', qh, kh)      # [N, H, Mi(q), Mi(k)]
+    mx = jnp.max(sii, axis=-1)                       # [N, H, Mi(q)]
+    e = jnp.exp(sii - mx[..., None])                 # [N, H, Mi(q), Mi(k)]
+    dsum = jnp.sum(e, axis=-1)                       # [N, H, Mi(q)]
+    # vo [N, Mi(k), H, D] -> exp-weighted sum over key tokens, per (q, h).
+    sexp = jnp.einsum('nhqk,nkhd->nqhd', e, vo)      # [N, Mi(q), H, D]
+    it_dm = jnp.stack([dsum, mx], axis=-1).reshape(N, H * Mi * 2)
     # The out-projection bias is constant per token and lands before the
     # residual LayerNorm — fold it into the raw (residual) tables.
     it_raw = _pad_lanes(item_feats.astype(jnp.float32) + head['b_out'],
@@ -142,7 +159,8 @@ def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
     it_k = _pad_lanes(k, dp).reshape(N, Mi * dp)
     it_vo = _pad_lanes(vo, dp).reshape(N, Mi * H * dp)
     it_sii = sii.reshape(N, H * Mi * Mi)
-    return it_raw, it_q, it_k, it_vo, it_sii
+    it_sexp = _pad_lanes(sexp, dp).reshape(N, Mi * H * dp)
+    return it_raw, it_q, it_k, it_vo, it_sii, it_sexp, it_dm
 
 
 def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
@@ -176,7 +194,7 @@ def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
     Mi = head['n_item_mods']
     T = Mi + 1
     u_raw, u_q, u_k, u_vo, u_suu = user_side
-    it_raw, it_q, it_k, it_vo, it_sii = item_side
+    it_raw, it_q, it_k, it_vo, it_sii = item_side[:5]
     B, C = u_raw.shape[0], it_raw.shape[0]
 
     uq = u_q[:, :d].reshape(B, H, dh)
@@ -225,7 +243,8 @@ def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
 
 # --------------------------------------------------------------- Pallas kernel
 def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-                      it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
+                      it_raw_ref, it_q_ref, it_k_ref, it_vo_ref,
+                      it_sexp_ref, it_dmT_ref,
                       b1_ref, w1_ref, *rest_refs,
                       out_ref, attn_scr, fused_scr,
                       n_layers, n_item_mods, H, dh, d, dp, h1,
@@ -233,23 +252,25 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
                       activation, final_activation, compute_dtype):
     """One (user-tile x item-tile) block of attention-fusion pair scores.
 
-    All slicing is static lax.slice at lane-group-aligned offsets (dp=128
-    per token / per (token, head) vo group). The softmax over keys runs on
-    fully-packed 2D [TB, TC] PLANES — one plane per key — never on arrays
-    with a tiny minor dim: Mosaic pads the minor (lane) dim to 128, so a
-    [TB, TC, 8] logit stack occupies 16x its logical VMEM and every softmax
-    temporary with it (the first version of this kernel did that and blew
-    the 16MB scoped-VMEM limit at 16-user tiles, then ran at 8.6M pairs/s
-    at 8-user tiles). Per-item key logits arrive pre-transposed
-    (``it_siiT`` [H*Mi*Mi, TC]) so each row is a ready [1, TC] lane vector.
+    Three Mosaic-shaped design rules, all measured the hard way:
 
-    The two cross-iteration accumulators ([TB, TC, dp] f32) live in
-    explicit VMEM scratch with ONE read-modify-write per (token, head):
-    Mosaic does not coalesce an SSA accumulator's versions across a
-    python-unrolled loop, so ``fused = fused + ...`` holds T live copies
-    (measured 29.1M scoped VMEM at 16x128 without scratch). Within one
-    (t, h) step the contrib chain is SSA — those temporaries do get
-    reused once the iteration closes with the scratch write.
+    * The softmax over keys runs on fully-packed 2D [TB, TC] PLANES — one
+      plane per key — never on arrays with a tiny minor dim: Mosaic pads
+      the minor (lane) dim to 128, so a [TB, TC, 8] logit stack occupies
+      16x its logical VMEM along with every softmax temporary (the first
+      version did that: 8.6M pairs/s at 8-user tiles).
+    * Loops are python-UNROLLED, not ``fori_loop``: a fori body bounds
+      VMEM (traced once) but serializes — the all-fori variant measured
+      15.2M pairs/s vs ~10x that unrolled. VMEM is bounded instead by
+      (a) hoisting the H materialized [TB, TC, dp] user-vo broadcasts
+      out of the token loop (the sublane broadcast [TB,1,dp]->[TB,TC,dp]
+      is what occupied ~20 scoped-VMEM slots at one per (t, h): measured
+      29.0M at 16x128) and (b) the factorization below.
+    * For item-query tokens (t > 0) the item-key softmax mass is
+      precomputed per item (``it_sexp``/``it_dm``, see
+      compute_item_side_attention): per (pair, token, head) the kernel
+      runs one MXU logit matmul, one exp, and TWO broadcast-mult-accs —
+      instead of a 5-plane softmax and five bmacs.
     """
     act = activation_fn(activation)
     f32 = jnp.float32
@@ -261,7 +282,7 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     it_raw = it_raw_ref[:].astype(f32)      # [TC, Mi*dp]
     it_q = it_q_ref[:].astype(f32)
     it_k = it_k_ref[:].astype(f32)
-    it_siiT = it_siiT_ref[:]                # [H*Mi*Mi, TC] f32
+    it_dmT = it_dmT_ref[:]                  # [H*Mi*2, TC] f32
     ln_scale = ln_scale_ref[:]              # [dp] f32 (padded zeros)
     ln_bias = ln_bias_ref[:]
     TB, TC = u_raw.shape[0], it_raw.shape[0]
@@ -274,80 +295,88 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
         return jnp.where((lane >= h * dh) & (lane < (h + 1) * dh), 1.0, 0.0)
 
-    def it_tok(arr, m):  # [TC, dp] token slice
+    def it_tok(arr, m):  # [TC, dp] token slice of a loaded value
         return jax.lax.slice(arr, (0, m * dp), (TC, (m + 1) * dp))
 
-    def it_vo_slice(m, h):  # [TC, dp]
-        # Slice the REF, not a full read: ``it_vo_ref[:]`` materializes
-        # the whole [TC, Mi*H*dp] table as a fresh value per call site —
-        # 20 call sites x 1MB was the real source of the 29M scoped-VMEM
-        # blowup, not the accumulators.
-        off = (m * H + h) * dp
+    def it_vo_slice(m, h):  # [TC, dp] ref slice (full reads would
+        off = (m * H + h) * dp              # materialize 1MB per call site)
         return it_vo_ref[:, off:off + dp].astype(f32)
 
-    def u_vo_slice(h):  # [TB, dp]
-        return u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
+    def it_sexp_slice(tq, h):  # [TC, dp]
+        off = (tq * H + h) * dp
+        return it_sexp_ref[:, off:off + dp].astype(f32)
 
-    # Pairwise logits per head: s_ui[h][m], s_iu[h][m] ([TB, TC] planes).
-    s_ui = [[nt_matmul(u_q * head_mask(h), it_tok(it_k, m))
-             for m in range(Mi)] for h in range(H)]
-    s_iu = [[nt_matmul(u_k * head_mask(h), it_tok(it_q, m))
-             for m in range(Mi)] for h in range(H)]
+    # Hoisted user-side vo broadcasts: ONE materialized [TB, TC, dp] per
+    # head, reused by every query token.
+    u_vo_b = [jnp.broadcast_to(
+        u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)[:, None, :],
+        (TB, TC, dp)) for h in range(H)]
 
     # Lane-index live mask ([1, 1, dp] broadcasts for free).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2)
     live = lane < d
     inv_T = 1.0 / T
 
-    fused_scr[:] = jnp.zeros((TB, TC, dp), f32)
-    for t in range(T):
-        # Attention output for query token t, summed over heads and keys.
-        attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
-        for h in range(H):
-            # Key logits as [TB, TC] planes: index 0 = user key,
-            # 1..Mi = item keys.
-            if t == 0:
-                l_user = jnp.broadcast_to(
-                    jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
-                planes = [l_user] + [s_ui[h][m] for m in range(Mi)]
-            else:
-                base = (h * Mi + (t - 1)) * Mi
-                planes = [s_iu[h][t - 1]] + [
-                    jnp.broadcast_to(
-                        jax.lax.slice(it_siiT, (base + m, 0),
-                                      (base + m + 1, TC)), (TB, TC))
-                    for m in range(Mi)]
-            # Plane softmax over the T keys (all 2D f32, fully packed).
-            mx = planes[0]
-            for p in planes[1:]:
-                mx = jnp.maximum(mx, p)
-            es = [jnp.exp(p - mx) for p in planes]
-            tot = es[0]
-            for e in es[1:]:
-                tot = tot + e
-            inv = 1.0 / tot
-
-            # Weighted vo sum: per key one broadcast-multiply-accumulate
-            # over the dp lanes (a linear SSA chain — at most two
-            # [TB, TC, dp] f32 values live at a time).
-            contrib = (es[0] * inv)[:, :, None] * u_vo_slice(h)[:, None, :]
-            for m in range(Mi):
-                contrib = contrib + ((es[m + 1] * inv)[:, :, None]
-                                     * it_vo_slice(m, h)[None, :, :])
-            attn_scr[:] = attn_scr[:] + contrib
-
-        # Residual + LayerNorm over the d live lanes, then token-mean
-        # (b_out is folded into the raw tables at precompute).
-        raw_t = (u_raw[:, None, :] if t == 0
-                 else it_tok(it_raw, t - 1)[None, :, :])
-        y = jnp.where(live, raw_t + attn_scr[:], 0.0)
+    def layernorm_token(raw_t, attn):
+        """Residual + LayerNorm over the d live lanes, scaled by 1/T
+        (b_out is folded into the raw tables at precompute)."""
+        y = jnp.where(live, raw_t + attn, 0.0)
         mu = jnp.sum(y, axis=-1, keepdims=True) * (1.0 / d)
         yc = jnp.where(live, y - mu, 0.0)
         var = jnp.sum(yc * yc, axis=-1, keepdims=True) * (1.0 / d)
         yn = yc * jax.lax.rsqrt(var + LN_EPS)
-        fused_scr[:] = fused_scr[:] + (
-            yn * ln_scale[None, None, :]
-            + jnp.where(live, ln_bias[None, None, :], 0.0)) * inv_T
+        return (yn * ln_scale[None, None, :]
+                + jnp.where(live, ln_bias[None, None, :], 0.0)) * inv_T
+
+    # ---- t = 0: the user token queries all keys — full 5-plane softmax
+    # (every key logit is pair-dependent here). Each unrolled iteration
+    # closes with a scratch-ref store: Mosaic only reuses an unrolled
+    # iteration's scoped-VMEM slots when its value chain is consumed by
+    # a ref write (value-accumulator chains keep every iteration live —
+    # measured 24.9M scoped at 16x128 without the scratch stores).
+    attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
+    for h in range(H):
+        l_user = jnp.broadcast_to(
+            jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
+        planes = [l_user] + [
+            nt_matmul(u_q * head_mask(h), it_tok(it_k, m))
+            for m in range(Mi)]
+        mx = planes[0]
+        for p in planes[1:]:
+            mx = jnp.maximum(mx, p)
+        es = [jnp.exp(p - mx) for p in planes]
+        tot = es[0]
+        for e in es[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        contrib = (es[0] * inv)[:, :, None] * u_vo_b[h]
+        for m in range(Mi):
+            contrib = contrib + ((es[m + 1] * inv)[:, :, None]
+                                 * it_vo_slice(m, h)[None, :, :])
+        attn_scr[:] = attn_scr[:] + contrib
+    fused_scr[:] = layernorm_token(u_raw[:, None, :], attn_scr[:])
+
+    # ---- t = 1..T-1: only the user key's logit is pair-dependent.
+    # attn = (e_u * u_vo + sexp) / (e_u + dsum), e_u = exp(s_iu - mx).
+    for tq in range(Mi):
+        attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
+        for h in range(H):
+            s_iu = nt_matmul(u_k * head_mask(h), it_tok(it_q, tq))
+            dsum = jnp.broadcast_to(
+                jax.lax.slice(it_dmT, ((h * Mi + tq) * 2, 0),
+                              ((h * Mi + tq) * 2 + 1, TC)), (TB, TC))
+            mx = jnp.broadcast_to(
+                jax.lax.slice(it_dmT, ((h * Mi + tq) * 2 + 1, 0),
+                              ((h * Mi + tq) * 2 + 2, TC)), (TB, TC))
+            # Exponent clamp: degrades gracefully to the user-key-
+            # dominates limit instead of overflowing f32.
+            e_u = jnp.exp(jnp.minimum(s_iu - mx, 80.0))
+            r = 1.0 / (e_u + dsum)
+            contrib = ((e_u * r)[:, :, None] * u_vo_b[h]
+                       + r[:, :, None] * it_sexp_slice(tq, h)[None, :, :])
+            attn_scr[:] = attn_scr[:] + contrib
+        raw_t = it_tok(it_raw, tq)[None, :, :]
+        fused_scr[:] = fused_scr[:] + layernorm_token(raw_t, attn_scr[:])
 
     x = fused_scr[:].astype(compute_dtype).reshape(TB * TC, dp)
     w1 = w1_ref[:].astype(compute_dtype)
@@ -366,16 +395,19 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
                             interpret: bool = False) -> jnp.ndarray:
     """Fused attention-fusion pair scoring on TPU: -> [B, C] f32 scores."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     u_raw, u_q, u_k, u_vo, u_suu = user_side
-    it_raw, it_q, it_k, it_vo, it_sii = item_side
+    it_raw, it_q, it_k, it_vo, _it_sii, it_sexp, it_dm = item_side
     B, dp = u_raw.shape
     C = it_raw.shape[0]
     n_layers = len(head['layers'])
     grid = (B // tile_users, C // tile_items)
-    # Item-item logits as lane vectors ([H*Mi*Mi, C]): one XLA transpose
-    # per chunk, so each kernel row broadcasts over users transpose-free.
-    it_siiT = it_sii.T
+    H, Mi = head['H'], head['n_item_mods']
+    # Per-(head, query token) [dsum, mx] rows as lane vectors
+    # ([H*Mi*2, C]): one XLA transpose per chunk, so each row broadcasts
+    # over users transpose-free inside the kernel.
+    it_dmT = it_dm.reshape(C, H * Mi * 2).T
 
     def u_spec(a):
         return pl.BlockSpec((tile_users, a.shape[1]), lambda i, j: (i, 0))
@@ -400,14 +432,14 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
         final_activation=head['final_activation'],
         compute_dtype=compute_dtype)
 
-    from jax.experimental.pallas import tpu as pltpu
-
     def wrapped(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-                it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
+                it_raw_ref, it_q_ref, it_k_ref, it_vo_ref,
+                it_sexp_ref, it_dmT_ref,
                 b1_ref, w1_ref, ln_scale_ref, ln_bias_ref, *rest):
         *layer_refs, out_ref, attn_scr, fused_scr = rest
         kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-               it_raw_ref, it_q_ref, it_k_ref, it_vo_ref, it_siiT_ref,
+               it_raw_ref, it_q_ref, it_k_ref, it_vo_ref,
+               it_sexp_ref, it_dmT_ref,
                b1_ref, w1_ref, *layer_refs, out_ref=out_ref,
                attn_scr=attn_scr, fused_scr=fused_scr,
                ln_scale_ref=ln_scale_ref, ln_bias_ref=ln_bias_ref)
@@ -419,7 +451,8 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
             u_spec(u_raw), u_spec(u_q), u_spec(u_k), u_spec(u_vo),
             u_spec(u_suu),
             it_spec(it_raw), it_spec(it_q), it_spec(it_k), it_spec(it_vo),
-            pl.BlockSpec((it_siiT.shape[0], tile_items),
+            it_spec(it_sexp),
+            pl.BlockSpec((it_dmT.shape[0], tile_items),
                          lambda i, j: (0, j)),
             pl.BlockSpec(head['b1'].shape, lambda i, j: (0,)),
             pl.BlockSpec(head['w1'].shape, lambda i, j: (0, 0)),
@@ -436,5 +469,5 @@ def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
         ],
         interpret=interpret,
     )(u_raw, u_q, u_k, u_vo, u_suu,
-      it_raw, it_q, it_k, it_vo, it_siiT,
+      it_raw, it_q, it_k, it_vo, it_sexp, it_dmT,
       head['b1'], head['w1'], ln_scale, ln_bias, *layer_args)

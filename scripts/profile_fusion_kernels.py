@@ -146,6 +146,11 @@ def main():
                         jnp.float32),
             jnp.asarray(rng.standard_normal((C, HEADS * MI * MI)),
                         jnp.float32),
+            jnp.asarray(rng.standard_normal((C, MI * HEADS * DP)),
+                        jnp.float32),
+            # [dsum, mx] pairs; dsum strictly positive
+            jnp.asarray(np.abs(rng.standard_normal((C, HEADS * MI * 2)))
+                        + 0.5, jnp.float32),
         )
         kw = {}
         if tb:

@@ -183,3 +183,41 @@ class TestShardedRecommender:
             np.testing.assert_allclose([s for _, s in recs1[u]],
                                        [s for _, s in recs0[u]],
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestScorerGeometry:
+    """Tile/user-block selection logic added with the fused fusion paths."""
+
+    def test_per_fusion_tile_defaults(self):
+        for fusion, expect in (('concatenate', 64), ('gated', 32),
+                               ('attention', 8)):
+            model, variables, store = _setup(fusion)
+            s = CatalogScorer(model, variables, store)
+            assert s.tile_users == expect, fusion
+            assert s.tile_items == 128
+
+    def test_explicit_tiles_override_defaults(self):
+        model, variables, store = _setup('gated')
+        s = CatalogScorer(model, variables, store,
+                          tile_users=8, tile_items=256)
+        assert s.tile_users == 8 and s.tile_items == 256
+
+    def test_user_chunk_defaults_small_off_tpu(self):
+        # Forced-CPU test env: the TPU branch (1024) is exercised on
+        # hardware by scripts/bench_fusion.py.
+        model, variables, store = _setup('concatenate')
+        s = CatalogScorer(model, variables, store)
+        assert s.user_chunk == 64
+
+    def test_generic_attention_fallback_clamps_user_chunk(self):
+        model, variables, store = _setup('attention')
+        # Drop batch_stats so BN cannot fold -> no fused head -> the
+        # generic path must keep small user blocks.
+        s = CatalogScorer(model, {'params': variables['params']}, store,
+                          user_chunk=1024)
+        assert s._head is None
+        assert s.user_chunk == 64
+        # With the fused head the requested chunk is honored.
+        s2 = CatalogScorer(model, variables, store, user_chunk=1024)
+        assert s2._head is not None
+        assert s2.user_chunk == 1024
