@@ -28,7 +28,7 @@ from pathlib import Path
 import numpy as np
 
 N_ITEMS = 65536
-N_USERS = 1024
+N_USERS = 8192
 TOP_K = 50
 EMB = 64
 VISION_DIM = 2048
@@ -81,8 +81,9 @@ def bench_tpu() -> float:
         numerical_features=jnp.zeros((B, NUM_FEAT), jnp.float32),
         train=False)
 
-    scorer = CatalogScorer(model, variables, store,
-                           item_chunk=8192, user_chunk=1024)
+    # Auto geometry: item_chunk 32768 / user_chunk 8192 on TPU (measured
+    # sweep: 293M pairs/s at 8192/1024 -> 423M at 32768/8192).
+    scorer = CatalogScorer(model, variables, store)
     users = rng.integers(0, 4096, N_USERS).astype(np.int32)
 
     log("warmup/compile...")

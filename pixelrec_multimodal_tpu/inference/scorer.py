@@ -43,8 +43,16 @@ from ..parallel.mesh import (
 class CatalogScorer:
     """Scores users against the full catalog with a fixed trained model."""
 
+    # User-block size classes: each call picks the smallest class that
+    # fits the request (<= user_chunk) and pads the tail block to it —
+    # one compile per class instead of one per distinct tail length
+    # (remote compiles cost 3-190s), small requests stay cheap, and big
+    # sweeps run at the large-block throughput optimum.
+    _BLOCK_CLASSES = (64, 512, 4096, 8192)
+
     def __init__(self, model, variables: Dict, feature_store,
-                 item_chunk: int = 8192, user_chunk: Optional[int] = None,
+                 item_chunk: Optional[int] = None,
+                 user_chunk: Optional[int] = None,
                  mesh=None, fast_path: bool = True,
                  tile_users: Optional[int] = None,
                  tile_items: Optional[int] = None):
@@ -55,17 +63,23 @@ class CatalogScorer:
         self._model_size = int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
         self._data_size = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
         self.n_items = feature_store.n_items
+        # Measured v5e sweep (65k catalog, concat, 8192-user blocks):
+        # chunk 8192 -> 293M pairs/s, 32768 -> 423M, 65536 -> 430M —
+        # fewer streaming-top-k merges per catalog pass. Under a mesh the
+        # catalog axis is sharded over 'model': keep chunks smaller so
+        # n_pad (a multiple of chunk * shards) stays near n_items.
+        if item_chunk is None:
+            item_chunk = (32768 if jax.default_backend() == 'tpu'
+                          and mesh is None else 8192)
         self.item_chunk = min(item_chunk, pad_to_multiple(self.n_items, 128))
-        # With a mesh the catalog axis is sharded over 'model': pad so each
-        # shard holds a whole number of scan chunks.
         self.n_pad = pad_to_multiple(self.n_items,
                                      self.item_chunk * self._model_size)
         # Per device call there is ~31ms fixed dispatch/fetch overhead
-        # through the TPU tunnel — big user blocks amortize it (measured:
-        # gated fusion 106M pairs/s at 256-user blocks vs ~2x that at
-        # 1024). Small default off-TPU keeps CPU tests/compiles cheap.
+        # through the TPU tunnel — big user blocks amortize it (measured
+        # concat: 293M pairs/s at 1024-user blocks, 423M at 8192). Small
+        # default off-TPU keeps CPU tests/compiles cheap.
         if user_chunk is None:
-            user_chunk = 1024 if jax.default_backend() == 'tpu' else 64
+            user_chunk = 8192 if jax.default_backend() == 'tpu' else 64
         self.user_chunk = user_chunk
         # Pallas tile geometry; per-fusion defaults are the measured v5e
         # optima (sweep table in _fast_topk_body). Gated carries the
@@ -405,20 +419,28 @@ class CatalogScorer:
         (scores [B, k], item positions [B, k]; -1 where fewer than k valid).
         """
         user_indices = np.asarray(user_indices, np.int32)
+        # Pick the smallest block class that covers the request (class
+        # docstring at _BLOCK_CLASSES) and pad the tail block to it.
+        chunk = self.user_chunk
+        for c in self._BLOCK_CLASSES:
+            if c >= len(user_indices) and c <= self.user_chunk:
+                chunk = c
+                break
         out_v, out_i = [], []
-        for s in range(0, len(user_indices), self.user_chunk):
-            users = user_indices[s:s + self.user_chunk]
+        for s in range(0, len(user_indices), chunk):
+            users = user_indices[s:s + chunk]
             B = len(users)
-            # Pad the user block so the 'data' mesh axis divides it evenly
-            # (duplicate rows of user 0; results sliced back to B below).
-            Bp = pad_to_multiple(B, self._data_size)
+            # Pad the user block to the block class (and so the 'data'
+            # mesh axis divides it evenly; duplicate rows of user 0,
+            # results sliced back to B below).
+            Bp = pad_to_multiple(chunk, self._data_size)
             users_p = np.concatenate(
                 [users, np.full(Bp - B, users[0], np.int32)])
             if self._head is not None:
                 # Compact seen-lists [B, H] padded with -1 (H static per
                 # scorer via _seen_pad for compile-cache stability).
                 if seen_mask is not None:
-                    block = seen_mask[s:s + self.user_chunk]
+                    block = seen_mask[s:s + chunk]
                     rows = [np.flatnonzero(r) for r in block]
                     H = max((len(r) for r in rows), default=0)
                     H = self._seen_pad(H)
@@ -439,8 +461,7 @@ class CatalogScorer:
                 invalid = np.broadcast_to(self._pad_mask,
                                           (Bp, self.n_pad)).copy()
                 if seen_mask is not None:
-                    invalid[:B, :self.n_items] |= \
-                        seen_mask[s:s + self.user_chunk]
+                    invalid[:B, :self.n_items] |= seen_mask[s:s + chunk]
                 if self.mesh is not None:
                     v, i = self._sharded_topk(k, fast=False)(
                         self.variables, self._item_feats,

@@ -29,11 +29,17 @@ def merge_topk(values_a: jnp.ndarray, idx_a: jnp.ndarray,
     """Merge two per-row candidate sets into the row-wise top-k.
 
     Used as the combiner of the streaming catalog scan: carry the running
-    top-k, merge each newly scored chunk.
+    top-k, merge each newly scored chunk. Selection uses
+    ``lax.approx_max_k(recall_target=1.0)`` — exact per its contract, but
+    lowered to TPU's two-stage PartialReduce instead of a full per-row
+    sort (measured: the lax.top_k merge cost the headline scan ~0.6ns per
+    scored pair at chunk 8192, k 50; profile_scorer.py topk_full vs
+    topk_k1). Tie-breaking order may differ from lax.top_k — ranking is
+    over continuous scores where exact ties are measure-zero.
     """
     cat_v = jnp.concatenate([values_a, values_b], axis=-1)
     cat_i = jnp.concatenate([idx_a, idx_b], axis=-1)
-    v, pos = jax.lax.top_k(cat_v, k)
+    v, pos = jax.lax.approx_max_k(cat_v, k, recall_target=1.0)
     i = jnp.take_along_axis(cat_i, pos, axis=-1)
     return v, i
 
@@ -58,7 +64,9 @@ def sharded_topk(scores: jnp.ndarray, k: int, axis_name: str
     """
     n_local = scores.shape[-1]
     shard = jax.lax.axis_index(axis_name)
-    local_v, local_i = jax.lax.top_k(scores, min(k, n_local))
+    # Same exact-but-faster selection as merge_topk (PartialReduce).
+    local_v, local_i = jax.lax.approx_max_k(scores, min(k, n_local),
+                                            recall_target=1.0)
     local_i = local_i + shard * n_local
     all_v = jax.lax.all_gather(local_v, axis_name, axis=-1, tiled=True)
     all_i = jax.lax.all_gather(local_i, axis_name, axis=-1, tiled=True)
