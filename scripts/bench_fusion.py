@@ -35,8 +35,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
-          user_chunk: int = 1024, fast_path: bool = True,
+def bench(fusion_type: str, n_users: int, item_chunk: int = 0,
+          user_chunk: int = 0, fast_path: bool = True,
           tile_users: int = 0, tile_items: int = 0) -> float:
     import jax
     import jax.numpy as jnp
@@ -78,15 +78,19 @@ def bench(fusion_type: str, n_users: int, item_chunk: int = 4096,
         tile_kw['tile_users'] = tile_users
     if tile_items:
         tile_kw['tile_items'] = tile_items
-    scorer = CatalogScorer(model, variables, store, item_chunk=item_chunk,
-                           user_chunk=user_chunk, fast_path=fast_path,
+    if item_chunk:
+        tile_kw['item_chunk'] = item_chunk
+    if user_chunk:
+        tile_kw['user_chunk'] = user_chunk
+    scorer = CatalogScorer(model, variables, store, fast_path=fast_path,
                            **tile_kw)
-    log(f"tiles: {scorer.tile_users}x{scorer.tile_items}")
+    log(f"tiles: {scorer.tile_users}x{scorer.tile_items} "
+        f"chunks: {scorer.item_chunk}/{scorer.user_chunk}")
     log(f"fast path active: {scorer._head is not None}")
     users = rng.integers(0, 4096, n_users).astype(np.int32)
 
     t0 = time.time()
-    scorer.top_k(users[:user_chunk], TOP_K)
+    scorer.top_k(users[:min(len(users), scorer.user_chunk)], TOP_K)
     log(f"compile+first block: {time.time() - t0:.1f}s")
 
     rates = []

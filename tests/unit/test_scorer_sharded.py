@@ -221,3 +221,32 @@ class TestScorerGeometry:
         s2 = CatalogScorer(model, variables, store, user_chunk=1024)
         assert s2._head is not None
         assert s2.user_chunk == 1024
+
+    def test_block_class_selection(self):
+        """top_k pads user blocks to the smallest covering class so
+        compile shapes stay stable across request sizes."""
+        model, variables, store = _setup('concatenate', n_items=150,
+                                         n_users=700)
+        s = CatalogScorer(model, variables, store, user_chunk=512)
+        rng = np.random.default_rng(3)
+        users = rng.integers(0, 700, 200).astype(np.int32)
+        # 200 users, classes (64, 512, ...): chunk -> 512, single block.
+        v, i = s.top_k(users, 7)
+        assert v.shape == (200, 7)
+        # Same users through a small-chunk scorer: identical results.
+        s2 = CatalogScorer(model, variables, store, user_chunk=64)
+        v2, i2 = s2.top_k(users, 7)
+        np.testing.assert_array_equal(i, i2)
+        np.testing.assert_allclose(v, v2, rtol=1e-5, atol=1e-6)
+
+    def test_block_classes_respect_user_chunk_cap(self):
+        model, variables, store = _setup('concatenate')
+        s = CatalogScorer(model, variables, store, user_chunk=100)
+        users = np.arange(20, dtype=np.int32)
+        # 20 users: class 64 <= 100 applies.
+        v, _ = s.top_k(users, 3)
+        assert v.shape == (20, 3)
+        # 300 users > all classes <= 100 -> falls back to user_chunk.
+        users = np.arange(32, dtype=np.int32).repeat(10)[:300]
+        v, _ = s.top_k(users % 32, 3)
+        assert v.shape == (300, 3)
