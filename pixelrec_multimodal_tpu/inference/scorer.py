@@ -69,8 +69,12 @@ class CatalogScorer:
         # catalog axis is sharded over 'model': keep chunks smaller so
         # n_pad (a multiple of chunk * shards) stays near n_items.
         if item_chunk is None:
+            # Attention keeps smaller chunks: its kernel is VPU-bound
+            # (merge savings negligible) and the 32768-item grid pushes
+            # scoped VMEM past the 16MB limit (17.1M measured).
             item_chunk = (32768 if jax.default_backend() == 'tpu'
-                          and mesh is None else 8192)
+                          and mesh is None
+                          and model.fusion_type != 'attention' else 8192)
         self.item_chunk = min(item_chunk, pad_to_multiple(self.n_items, 128))
         self.n_pad = pad_to_multiple(self.n_items,
                                      self.item_chunk * self._model_size)
