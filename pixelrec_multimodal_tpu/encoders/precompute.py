@@ -43,20 +43,35 @@ def _device_put_batch(arr, mesh):
 def _batched_pooled(apply_fn, inputs: List[np.ndarray], n_items: int,
                     out_dim: int, batch_size: int, mesh,
                     make_batch) -> np.ndarray:
-    """Run apply_fn over the catalog in static-shape batches."""
-    import jax
+    """Run apply_fn over the catalog in static-shape batches.
 
-    out = np.zeros((n_items, out_dim), dtype=np.float32)
-    for start in range(0, n_items, batch_size):
+    The NEXT batch's host work (JPEG decode + host->device transfer in
+    ``make_batch``) is prefetched on a worker thread while the device
+    runs the current forward — without this the image path serializes
+    decode, transfer and compute (measured 173 items/s for ResNet-50
+    through the dev tunnel; transfers dominate there).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def staged(start):
         idx = np.arange(start, min(start + batch_size, n_items))
         valid = len(idx)
         if valid < batch_size:  # pad to static shape
             idx = np.concatenate(
                 [idx, np.zeros(batch_size - valid, dtype=idx.dtype)])
         batch_inputs = make_batch(idx)
-        batch_inputs = [_device_put_batch(b, mesh) for b in batch_inputs]
-        pooled = np.asarray(apply_fn(*batch_inputs))
-        out[start:start + valid] = pooled[:valid]
+        return [_device_put_batch(b, mesh) for b in batch_inputs], valid
+
+    out = np.zeros((n_items, out_dim), dtype=np.float32)
+    starts = list(range(0, n_items, batch_size))
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(staged, starts[0])
+        for i, start in enumerate(starts):
+            batch_inputs, valid = fut.result()
+            if i + 1 < len(starts):
+                fut = ex.submit(staged, starts[i + 1])
+            pooled = np.asarray(apply_fn(*batch_inputs))
+            out[start:start + valid] = pooled[:valid]
     return out
 
 
