@@ -247,6 +247,73 @@ class CatalogScorer:
                                        invalid_mask, k, jnp.int32(0))
 
     # ------------------------------------------------------ fast (factorized)
+    def _fast_user_side(self, variables, user_idx: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, ...]:
+        """User tower + per-fusion user-side precompute, padded to the
+        kernel's user-tile multiple."""
+        from ..ops.attention_scorer import compute_user_side_attention
+        from ..ops.pairwise_mlp import (
+            compute_user_first,
+            compute_user_side_gated,
+        )
+        fusion = self._head['fusion']
+        B = user_idx.shape[0]
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        if fusion == 'gated':
+            user_side = compute_user_side_gated(self._head, user_emb)
+        elif fusion == 'attention':
+            user_side = compute_user_side_attention(self._head, user_emb)
+        else:
+            user_side = (compute_user_first(self._head, user_emb),)
+        TB = self.tile_users
+        B_pad = ((B + TB - 1) // TB) * TB
+        return tuple(
+            jnp.zeros((B_pad,) + a.shape[1:], a.dtype).at[:B].set(a)
+            for a in user_side)
+
+    def _fast_pair_scores(self, user_side_p: Tuple[jnp.ndarray, ...],
+                          chunk: Tuple[jnp.ndarray, ...], B: int
+                          ) -> jnp.ndarray:
+        """[B, C] pair scores for one item chunk through the per-fusion
+        fused kernel (Pallas on TPU, identical-math XLA elsewhere).
+
+        Tile geometry is VMEM-bounded: activations are [TB*TC, h1].
+        Measured on v5e (65k catalog, [512,256,128] head, concat):
+        64x128 best (sweep history in git); gated 32x128, attention 8x128
+        (ops docstrings carry the VMEM accounting).
+        """
+        from ..ops.attention_scorer import (
+            pallas_attention_scores,
+            xla_attention_scores,
+        )
+        from ..ops.pairwise_mlp import (
+            pallas_pairwise_scores,
+            pallas_pairwise_scores_gated,
+            xla_pairwise_scores,
+            xla_pairwise_scores_gated,
+        )
+        fusion = self._head['fusion']
+        TB, TC = self.tile_users, self.tile_items
+        if self._use_pallas:
+            if fusion == 'gated':
+                return pallas_pairwise_scores_gated(
+                    self._head, *user_side_p, *chunk,
+                    tile_users=TB, tile_items=TC)[:B]
+            if fusion == 'attention':
+                return pallas_attention_scores(
+                    self._head, user_side_p, chunk,
+                    tile_users=TB, tile_items=TC)[:B]
+            return pallas_pairwise_scores(self._head, user_side_p[0],
+                                          chunk[0], tile_users=TB,
+                                          tile_items=TC)[:B]
+        if fusion == 'gated':
+            return xla_pairwise_scores_gated(
+                self._head, *(a[:B] for a in user_side_p), *chunk)
+        if fusion == 'attention':
+            return xla_attention_scores(
+                self._head, tuple(a[:B] for a in user_side_p), chunk)
+        return xla_pairwise_scores(self._head, user_side_p[0][:B], chunk[0])
+
     def _fast_topk_body(self, variables, item_fast: Tuple[jnp.ndarray, ...],
                         user_idx: jnp.ndarray, seen_items: jnp.ndarray,
                         k: int, base) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -260,72 +327,17 @@ class CatalogScorer:
         (B x C x H compares on the VPU), avoiding a dense [B, n_pad]
         host->device transfer per call.
         """
-        from ..ops.attention_scorer import (
-            compute_user_side_attention,
-            pallas_attention_scores,
-            xla_attention_scores,
-        )
-        from ..ops.pairwise_mlp import (
-            compute_user_first,
-            compute_user_side_gated,
-            pallas_pairwise_scores,
-            pallas_pairwise_scores_gated,
-            xla_pairwise_scores,
-            xla_pairwise_scores_gated,
-        )
-        fusion = self._head['fusion']
         B = user_idx.shape[0]
         C = self.item_chunk
         num_chunks = item_fast[0].shape[0] // C
-        user_emb = self.model.apply(variables, user_idx, method='user_tower')
-        if fusion == 'gated':
-            user_side = compute_user_side_gated(self._head, user_emb)
-        elif fusion == 'attention':
-            user_side = compute_user_side_attention(self._head, user_emb)
-        else:
-            user_side = (compute_user_first(self._head, user_emb),)
+        user_side_p = self._fast_user_side(variables, user_idx)
         chunks = tuple(a.reshape((num_chunks, C) + a.shape[1:])
                        for a in item_fast)
         offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
-        # Pad the user block to the kernel's user-tile multiple.
-        TB = self.tile_users
-        B_pad = ((B + TB - 1) // TB) * TB
-        user_side_p = tuple(
-            jnp.zeros((B_pad,) + a.shape[1:], a.dtype).at[:B].set(a)
-            for a in user_side)
-
-        # Tile geometry is VMEM-bounded: activations are [TB*TC, h1].
-        # Measured on v5e (65k catalog, [512,256,128] head): 16x128 =
-        # 287M pairs/s, 32x256 = 299M, 64x128 = 307M (best), 64x256 =
-        # VMEM OOM (20.2M > 16M scoped limit); round-2 sweep: 128x64 and
-        # 32x128 slower, 64x128 confirmed.
-        TC = self.tile_items
-
         def body(carry, xs):
             chunk, off = xs
-            if self._use_pallas:
-                if fusion == 'gated':
-                    s = pallas_pairwise_scores_gated(
-                        self._head, *user_side_p, *chunk,
-                        tile_users=TB, tile_items=TC)[:B]
-                elif fusion == 'attention':
-                    s = pallas_attention_scores(
-                        self._head, user_side_p, chunk,
-                        tile_users=TB, tile_items=TC)[:B]
-                else:
-                    s = pallas_pairwise_scores(self._head, user_side_p[0],
-                                               chunk[0], tile_users=TB,
-                                               tile_items=TC)[:B]
-            elif fusion == 'gated':
-                s = xla_pairwise_scores_gated(
-                    self._head, *(a[:B] for a in user_side_p), *chunk)
-            elif fusion == 'attention':
-                s = xla_attention_scores(
-                    self._head, tuple(a[:B] for a in user_side_p), chunk)
-            else:
-                s = xla_pairwise_scores(self._head, user_side_p[0][:B],
-                                        chunk[0])
+            s = self._fast_pair_scores(user_side_p, chunk, B)
             cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids
             invalid = cidx[None, :] >= self.n_items       # padding
             if seen_items.shape[1] > 0:
@@ -504,8 +516,29 @@ class CatalogScorer:
             out.append(v)
         return np.concatenate(out)
 
+    @partial(jax.jit, static_argnums=0)
+    def _score_full_fast(self, variables, item_fast: Tuple[jnp.ndarray, ...],
+                         user_idx: jnp.ndarray) -> jnp.ndarray:
+        """[B, n_pad] dense scores through the fused per-fusion kernel."""
+        B = user_idx.shape[0]
+        C = self.item_chunk
+        num_chunks = item_fast[0].shape[0] // C
+        user_side_p = self._fast_user_side(variables, user_idx)
+        chunks = tuple(a.reshape((num_chunks, C) + a.shape[1:])
+                       for a in item_fast)
+
+        def body(_, chunk):
+            return None, self._fast_pair_scores(user_side_p, chunk, B)
+
+        _, rows = jax.lax.scan(body, None, chunks)  # [num_chunks, B, C]
+        return rows.transpose(1, 0, 2).reshape(B, num_chunks * C)
+
     def score_full(self, user_indices: np.ndarray) -> np.ndarray:
-        """Dense [B, n_items] score matrix (ranking eval / analysis)."""
+        """Dense [B, n_items] score matrix (ranking eval / analysis).
+
+        Runs the fused factorized kernel when available (same fast path
+        as top_k, minus the merges); generic compiled scan otherwise.
+        """
         user_indices = np.asarray(user_indices, np.int32)
         rows = []
         num_chunks = self.n_pad // self.item_chunk
@@ -513,6 +546,11 @@ class CatalogScorer:
             (num_chunks, self.item_chunk) + self._item_feats.shape[1:])
         for s in range(0, len(user_indices), self.user_chunk):
             users = jnp.asarray(user_indices[s:s + self.user_chunk])
+            if self._head is not None and self.mesh is None:
+                dense = np.asarray(self._score_full_fast(
+                    self.variables, self._item_fast, users))
+                rows.append(dense[:, :self.n_items])
+                continue
             parts = [np.asarray(self._score_block(self.variables, chunks[c], users))
                      for c in range(num_chunks)]
             rows.append(np.concatenate(parts, axis=1)[:, :self.n_items])

@@ -250,3 +250,16 @@ class TestScorerGeometry:
         users = np.arange(32, dtype=np.int32).repeat(10)[:300]
         v, _ = s.top_k(users % 32, 3)
         assert v.shape == (300, 3)
+
+    @pytest.mark.parametrize('fusion', ['concatenate', 'gated', 'attention'])
+    def test_score_full_fast_matches_generic(self, fusion):
+        """score_full's fused path == the generic compiled scan."""
+        model, variables, store = _setup(fusion)
+        fast = CatalogScorer(model, variables, store)
+        generic = CatalogScorer(model, variables, store, fast_path=False)
+        assert fast._head is not None and generic._head is None
+        users = np.arange(12, dtype=np.int32)
+        a = fast.score_full(users)
+        b = generic.score_full(users)
+        assert a.shape == b.shape == (12, store.n_items)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
