@@ -504,15 +504,27 @@ class CatalogScorer:
         """
         user_indices = np.asarray(user_indices, np.int32)
         candidate_idx = np.asarray(candidate_idx, np.int32)
+        # Same block-class quantization as top_k: pad the tail user block
+        # to a size class so compile shapes stay stable across evals.
+        chunk = self.user_chunk
+        for c in self._BLOCK_CLASSES:
+            if c >= len(user_indices) and c <= self.user_chunk:
+                chunk = c
+                break
         out = []
-        for s in range(0, len(user_indices), self.user_chunk):
-            users = jnp.asarray(user_indices[s:s + self.user_chunk])
-            cands = jnp.asarray(candidate_idx[s:s + self.user_chunk])
+        for s in range(0, len(user_indices), chunk):
+            users = user_indices[s:s + chunk]
+            B = len(users)
+            users_p = np.concatenate(
+                [users, np.full(chunk - B, users[0], np.int32)])
+            cands = candidate_idx[s:s + chunk]
+            cands_p = np.concatenate(
+                [cands, np.zeros((chunk - B,) + cands.shape[1:], np.int32)])
             v = np.asarray(self._score_candidates(
-                self.variables, self._item_feats, users, cands))
+                self.variables, self._item_feats, jnp.asarray(users_p),
+                jnp.asarray(cands_p)))[:B]
             if candidate_mask is not None:
-                v = np.where(candidate_mask[s:s + self.user_chunk], v,
-                             float(NEG_INF))
+                v = np.where(candidate_mask[s:s + chunk], v, float(NEG_INF))
             out.append(v)
         return np.concatenate(out)
 
