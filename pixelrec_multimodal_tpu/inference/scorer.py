@@ -425,6 +425,35 @@ class CatalogScorer:
             size *= 2
         return size
 
+    def _with_tile_backoff(self, call):
+        """Run a fused-path device call, halving ``tile_users`` and
+        retrying on a scoped-VMEM compile OOM.
+
+        Tile defaults are tuned for the flagship [512,256,128] head; a
+        wider prediction MLP (h1 > 512) raises per-tile VMEM linearly
+        and would otherwise be a hard compile error. Mosaic reports it
+        as a 'vmem' RuntimeError at compile time; halving the user tile
+        halves every [TB*TC, width] buffer. Floor 8 (sublane minimum).
+        """
+        while True:
+            try:
+                return call()
+            except Exception as e:  # jax wraps XlaRuntimeError variously
+                msg = str(e).lower()
+                if 'vmem' not in msg or self.tile_users <= 8:
+                    raise
+                self.tile_users //= 2
+                print(f"CatalogScorer: scoped-VMEM overflow; retrying "
+                      f"with tile_users={self.tile_users}")
+                # self is a static jit arg (hashed by id), so cached
+                # traces with the old tile geometry must be dropped.
+                for fn in (type(self)._topk_scan_fast,
+                           type(self)._score_full_fast):
+                    try:
+                        fn.clear_cache()
+                    except AttributeError:
+                        pass
+
     # --------------------------------------------------------------- user API
     def top_k(self, user_indices: np.ndarray, k: int,
               seen_mask: Optional[np.ndarray] = None
@@ -470,9 +499,10 @@ class CatalogScorer:
                         self.variables, self._item_fast,
                         jnp.asarray(users_p), jnp.asarray(seen))
                 else:
-                    v, i = self._topk_scan_fast(
-                        self.variables, self._item_fast,
-                        jnp.asarray(users_p), jnp.asarray(seen), k)
+                    v, i = self._with_tile_backoff(
+                        lambda: self._topk_scan_fast(
+                            self.variables, self._item_fast,
+                            jnp.asarray(users_p), jnp.asarray(seen), k))
             else:
                 invalid = np.broadcast_to(self._pad_mask,
                                           (Bp, self.n_pad)).copy()
@@ -559,8 +589,9 @@ class CatalogScorer:
         for s in range(0, len(user_indices), self.user_chunk):
             users = jnp.asarray(user_indices[s:s + self.user_chunk])
             if self._head is not None and self.mesh is None:
-                dense = np.asarray(self._score_full_fast(
-                    self.variables, self._item_fast, users))
+                dense = np.asarray(self._with_tile_backoff(
+                    lambda: self._score_full_fast(
+                        self.variables, self._item_fast, users)))
                 rows.append(dense[:, :self.n_items])
                 continue
             parts = [np.asarray(self._score_block(self.variables, chunks[c], users))

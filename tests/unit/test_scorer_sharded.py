@@ -263,3 +263,34 @@ class TestScorerGeometry:
         b = generic.score_full(users)
         assert a.shape == b.shape == (12, store.n_items)
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def test_tile_backoff_on_vmem_oom(self, monkeypatch):
+        """A scoped-VMEM compile OOM halves tile_users and retries."""
+        model, variables, store = _setup('concatenate')
+        s = CatalogScorer(model, variables, store, tile_users=32)
+        calls = {'n': 0}
+        real = type(s)._topk_scan_fast
+
+        def flaky(self_, *a, **kw):
+            calls['n'] += 1
+            if calls['n'] == 1:
+                raise RuntimeError(
+                    'Ran out of memory in memory space vmem while ...')
+            return real(self_, *a, **kw)
+
+        monkeypatch.setattr(type(s), '_topk_scan_fast', flaky)
+        users = np.arange(8, dtype=np.int32)
+        v, i = s.top_k(users, 5)
+        assert v.shape == (8, 5)
+        assert s.tile_users == 16 and calls['n'] == 2
+
+    def test_non_vmem_errors_propagate(self, monkeypatch):
+        model, variables, store = _setup('concatenate')
+        s = CatalogScorer(model, variables, store)
+
+        def boom(self_, *a, **kw):
+            raise RuntimeError('something unrelated')
+
+        monkeypatch.setattr(type(s), '_topk_scan_fast', boom)
+        with pytest.raises(RuntimeError, match='unrelated'):
+            s.top_k(np.arange(4, dtype=np.int32), 3)
