@@ -294,3 +294,44 @@ class TestScorerGeometry:
         monkeypatch.setattr(type(s), '_topk_scan_fast', boom)
         with pytest.raises(RuntimeError, match='unrelated'):
             s.top_k(np.arange(4, dtype=np.int32), 3)
+
+
+class TestReducedModalityFastPaths:
+    """Fast-path == generic for models with fewer item modalities (the
+    kernels' token/modality loops are config-dependent: Mi = 2..5)."""
+
+    @pytest.mark.parametrize('fusion', ['concatenate', 'gated', 'attention'])
+    @pytest.mark.parametrize('dims', [
+        dict(vision_feature_dim=24, language_feature_dim=None,
+             num_numerical_features=0),                       # Mi=3
+        dict(vision_feature_dim=None, language_feature_dim=None,
+             num_numerical_features=0),                       # Mi=2 (ID+tag)
+    ])
+    def test_fast_matches_generic(self, fusion, dims):
+        n_items, n_users = 150, 32
+        rng = np.random.default_rng(7)
+        model = MultimodalRecommender(
+            n_users=n_users, n_items=n_items, n_tags=5,
+            embedding_dim=16, use_contrastive=False,
+            fusion_hidden_dims=(32, 16), fusion_type=fusion,
+            use_batch_norm=True, dropout_rate=0.0, **dims)
+        idx = jnp.zeros((2,), jnp.int32)
+        kwargs = {}
+        if dims['vision_feature_dim']:
+            kwargs['vision_features'] = jnp.zeros((2, 24), jnp.float32)
+        variables = model.init({'params': jax.random.PRNGKey(0)},
+                               idx, idx, idx, train=False, **kwargs)
+        store = ItemFeatureStore(n_items, np.arange(n_items).astype(str))
+        store.tables['tag_idx'] = (np.arange(n_items) % 5).astype(np.int32)
+        if dims['vision_feature_dim']:
+            store.tables['vision_emb'] = rng.standard_normal(
+                (n_items, 24)).astype(np.float32)
+
+        fast = CatalogScorer(model, variables, store)
+        generic = CatalogScorer(model, variables, store, fast_path=False)
+        assert fast._head is not None
+        users = np.arange(10, dtype=np.int32)
+        vf, idf = fast.top_k(users, 9)
+        vg, idg = generic.top_k(users, 9)
+        np.testing.assert_array_equal(idf, idg)
+        np.testing.assert_allclose(vf, vg, rtol=2e-4, atol=2e-5)
