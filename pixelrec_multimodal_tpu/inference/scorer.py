@@ -453,6 +453,7 @@ class CatalogScorer:
                         fn.clear_cache()
                     except AttributeError:
                         pass
+                self._sharded_fns.clear()
 
     # --------------------------------------------------------------- user API
     def top_k(self, user_indices: np.ndarray, k: int,
@@ -495,9 +496,10 @@ class CatalogScorer:
                 else:
                     seen = np.zeros((Bp, 0), dtype=np.int32)
                 if self.mesh is not None:
-                    v, i = self._sharded_topk(k, fast=True)(
-                        self.variables, self._item_fast,
-                        jnp.asarray(users_p), jnp.asarray(seen))
+                    v, i = self._with_tile_backoff(
+                        lambda: self._sharded_topk(k, fast=True)(
+                            self.variables, self._item_fast,
+                            jnp.asarray(users_p), jnp.asarray(seen)))
                 else:
                     v, i = self._with_tile_backoff(
                         lambda: self._topk_scan_fast(
