@@ -15,7 +15,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+# Python float, NOT jnp.float32(...): a module-level device array would
+# initialize the JAX backend at import time, before CLIs can select a
+# platform (it froze the platform to axon/1-CPU-device and broke
+# --device cpu + simulated-mesh runs).
+NEG_INF = -1e30
 
 
 def topk_2d(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
