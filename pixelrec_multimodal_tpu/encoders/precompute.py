@@ -64,6 +64,8 @@ def _batched_pooled(apply_fn, inputs: List[np.ndarray], n_items: int,
 
     out = np.zeros((n_items, out_dim), dtype=np.float32)
     starts = list(range(0, n_items, batch_size))
+    if not starts:  # empty catalog: nothing to prefetch
+        return out
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(staged, starts[0])
         for i, start in enumerate(starts):

@@ -22,7 +22,8 @@ class Recommender:
     """Wraps a trained model + dataset for top-K generation and pair scoring."""
 
     def __init__(self, model, variables: Dict, dataset,
-                 item_chunk: int = 8192, user_chunk: Optional[int] = None,
+                 item_chunk: Optional[int] = None,
+                 user_chunk: Optional[int] = None,
                  mesh=None):
         self.model = model
         self.dataset = dataset

@@ -23,6 +23,7 @@ of 256 with per-item feature fetch + host sort). Design:
 """
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -71,10 +72,14 @@ class CatalogScorer:
         if item_chunk is None:
             # Attention keeps smaller chunks: its kernel is VPU-bound
             # (merge savings negligible) and the 32768-item grid pushes
-            # scoped VMEM past the 16MB limit (17.1M measured).
-            item_chunk = (32768 if jax.default_backend() == 'tpu'
-                          and mesh is None
-                          and model.fusion_type != 'attention' else 8192)
+            # scoped VMEM past the 16MB limit (17.1M measured). Gated is
+            # measured at 32768 (bench_fusion); concat takes the sweep
+            # optimum 65536.
+            per_fusion = {'concatenate': 65536, 'gated': 32768,
+                          'attention': 8192}
+            item_chunk = (per_fusion.get(model.fusion_type, 32768)
+                          if jax.default_backend() == 'tpu'
+                          and mesh is None else 8192)
         self.item_chunk = min(item_chunk, pad_to_multiple(self.n_items, 128))
         self.n_pad = pad_to_multiple(self.n_items,
                                      self.item_chunk * self._model_size)
@@ -443,8 +448,9 @@ class CatalogScorer:
                 if 'vmem' not in msg or self.tile_users <= 8:
                     raise
                 self.tile_users //= 2
+                # stderr: bench.py's stdout contract is exactly ONE JSON line.
                 print(f"CatalogScorer: scoped-VMEM overflow; retrying "
-                      f"with tile_users={self.tile_users}")
+                      f"with tile_users={self.tile_users}", file=sys.stderr)
                 # self is a static jit arg (hashed by id), so cached
                 # traces with the old tile geometry must be dropped.
                 for fn in (type(self)._topk_scan_fast,
@@ -588,8 +594,16 @@ class CatalogScorer:
         num_chunks = self.n_pad // self.item_chunk
         chunks = self._item_feats.reshape(
             (num_chunks, self.item_chunk) + self._item_feats.shape[1:])
-        for s in range(0, len(user_indices), self.user_chunk):
-            users = jnp.asarray(user_indices[s:s + self.user_chunk])
+        user_chunk = self.user_chunk
+        if (self.model.fusion_type == 'attention'
+                and (self._head is None or self.mesh is not None)):
+            # The generic attention path materializes [B*C, H, T, T]
+            # intermediates per chunk (~25GB HBM at 8192-user blocks on the
+            # bench geometry) — same cap as the fallback in __init__, which
+            # a meshed scorer (fast path requires mesh is None here) misses.
+            user_chunk = min(user_chunk, 64)
+        for s in range(0, len(user_indices), user_chunk):
+            users = jnp.asarray(user_indices[s:s + user_chunk])
             if self._head is not None and self.mesh is None:
                 dense = np.asarray(self._with_tile_backoff(
                     lambda: self._score_full_fast(
