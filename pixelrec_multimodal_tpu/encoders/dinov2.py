@@ -23,6 +23,34 @@ import jax.numpy as jnp
 from .common import MultiHeadSelfAttention
 
 
+def _cubic_kernel(x: "np.ndarray", a: float = -0.75):
+    import numpy as np
+    x = np.abs(x)
+    return np.where(
+        x <= 1, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+        np.where(x < 2, a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a, 0.0))
+
+
+def bicubic_resize_matrix(src: int, dst: int) -> jnp.ndarray:
+    """[dst, src] interpolation matrix reproducing torch bicubic
+    (align_corners=False, a=-0.75, edge-clamped) exactly — the convention HF
+    Dinov2 uses for position-embedding interpolation. jax.image.resize's
+    'bicubic' is Catmull-Rom (a=-0.5) and does NOT match. src/dst are static
+    (patch-grid sizes), so the matrix is a compile-time constant and the
+    interpolation compiles to two small matmuls."""
+    import numpy as np
+    M = np.zeros((dst, src), np.float64)
+    scale = src / dst
+    for i in range(dst):
+        x = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(x))
+        t = x - i0
+        for off in (-1, 0, 1, 2):
+            idx = min(max(i0 + off, 0), src - 1)
+            M[i, idx] += _cubic_kernel(np.asarray(off - t))
+    return jnp.asarray(M, jnp.float32)
+
+
 @dataclass(frozen=True)
 class Dinov2Config:
     hidden_size: int = 768
@@ -90,8 +118,11 @@ class Dinov2Tower(nn.Module):
         patch_pos = pos[:, 1:].reshape(
             1, c.pos_embed_grid, c.pos_embed_grid, c.hidden_size)
         if (gh, gw) != (c.pos_embed_grid, c.pos_embed_grid):
-            patch_pos = jax.image.resize(
-                patch_pos, (1, gh, gw, c.hidden_size), method='bicubic')
+            # torch-convention bicubic (matches HF interpolate_pos_encoding
+            # bit-for-bit; see bicubic_resize_matrix).
+            Mh = bicubic_resize_matrix(c.pos_embed_grid, gh)
+            Mw = bicubic_resize_matrix(c.pos_embed_grid, gw)
+            patch_pos = jnp.einsum('oh,bhwd,pw->bopd', Mh, patch_pos, Mw)
         patch_pos = patch_pos.reshape(1, gh * gw, c.hidden_size)
 
         x = jnp.concatenate(

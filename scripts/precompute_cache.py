@@ -119,7 +119,16 @@ def main(cli_args=None):
                              'forwards (default: all devices)')
     parser.add_argument('--model_parallel', type=int, default=1,
                         help='Mesh model-axis size')
+    parser.add_argument('--device', type=str, default=None,
+                        help="JAX platform to use (e.g. 'cpu'); same flag "
+                             'as train.py/evaluate.py')
     args = parser.parse_args(cli_args)
+    if args.device and args.device not in ('tpu', 'auto', 'cuda'):
+        import jax
+        try:
+            jax.config.update('jax_platforms', args.device)
+        except Exception as e:
+            print(f"Warning: could not select platform '{args.device}': {e}")
     config = Config.from_yaml(args.config)
     from pixelrec_multimodal_tpu.parallel import mesh_from_flags
     mesh = mesh_from_flags(args.data_parallel, args.model_parallel)

@@ -221,6 +221,25 @@ class TestVisionParity:
                                    out.pooler_output.numpy(), **TOL)
 
 
+class TestDinov2InterpolationMatrix:
+    """The torch-convention bicubic matrix used for DINOv2 pos-embed
+    interpolation is exact vs torch F.interpolate (align_corners=False,
+    a=-0.75) — jax.image.resize's Catmull-Rom kernel would not be."""
+
+    @pytest.mark.parametrize('src,dst', [(37, 16), (37, 8), (7, 16)])
+    def test_matches_torch_bicubic(self, src, dst):
+        import torch.nn.functional as F
+        from pixelrec_multimodal_tpu.encoders.dinov2 import (
+            bicubic_resize_matrix)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 5, src, src)).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x), size=(dst, dst),
+                            mode='bicubic', align_corners=False).numpy()
+        M = np.asarray(bicubic_resize_matrix(src, dst))
+        ours = np.einsum('oh,bchw,pw->bcop', M, x, M)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 class TestZooShapes:
     """Full-size modules initialize and produce registry-declared dims."""
 
