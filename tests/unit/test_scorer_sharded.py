@@ -133,6 +133,31 @@ class TestShardedScorer:
             sharded.score_candidates(users, cands),
             base.score_candidates(users, cands), rtol=1e-5, atol=1e-6)
 
+    def test_score_candidates_comms_scale_with_candidates(self, devices):
+        """GSPMD partitions the candidate gather as a masked LOCAL gather +
+        one all-reduce of the [B, C, M, D] candidate stack — comms scale
+        with the candidate matrix, NOT the catalog. A full-table all-gather
+        (catalog-sized comms) would regress the meshed eval path; this pins
+        the compiled collective shapes (BASELINE.md mesh section)."""
+        import re
+        model, variables, store = _setup(n_items=512)
+        mesh = make_mesh(model_parallel=4)
+        sharded = CatalogScorer(model, variables, store, item_chunk=64,
+                                user_chunk=8, mesh=mesh)
+        B, C = 8, 16
+        users = jnp.zeros((B,), jnp.int32)
+        cands = jnp.zeros((B, C), jnp.int32)
+        fn = jax.jit(lambda v, f, u, c: sharded._score_candidates(v, f, u, c))
+        hlo = fn.lower(sharded.variables, sharded._item_feats, users,
+                       cands).compile().as_text()
+        # No catalog-length all-gather anywhere in the program.
+        n_pad = sharded.n_pad
+        for m in re.finditer(r'all-gather[^\n]*', hlo):
+            assert f'[{n_pad},' not in m.group(0), m.group(0)[:200]
+        # The gather's cross-shard combine is candidate-sized.
+        reduces = re.findall(r'all-reduce\s*=\s*\S*f32\[([\d,]+)\]', hlo)
+        assert any(s.startswith(f'{B},{C},') for s in reduces), reduces
+
 
 class TestShardedRecommender:
     def test_recommender_with_mesh_matches(self, devices):
