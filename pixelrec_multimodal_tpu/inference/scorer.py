@@ -163,39 +163,53 @@ class CatalogScorer:
             self.user_chunk = min(self.user_chunk, 64)
 
     # ------------------------------------------------------------- item tower
+    # Raw encoder tables (vision 2048-dim, language 384-dim) are the big
+    # arrays at PixelRec scale — 8 GB+ at 10^6 items. They are only needed
+    # to PRODUCE the compact projected tower [n_pad, M, D], so the build
+    # streams them host->device in fixed-size chunks: transient HBM is one
+    # chunk of raw features; only the tower (M*D*4 bytes/item) stays
+    # resident. Single jit shape for all chunks (tail is padded).
+    _TOWER_BUILD_CHUNK = 65536
+
     def _build_item_tower(self) -> jnp.ndarray:
         t = self.store.tables
         n, n_pad = self.n_items, self.n_pad
+        chunk = min(self._TOWER_BUILD_CHUNK, n_pad)
 
-        def padded(arr, fill=0):
-            out = np.zeros((n_pad,) + arr.shape[1:], arr.dtype)
-            out[:n] = arr
-            return jnp.asarray(out)
-
-        item_idx = jnp.asarray(
-            np.concatenate([np.arange(n), np.zeros(n_pad - n)]).astype(np.int32))
-        tag_idx = padded(t['tag_idx'].astype(np.int32))
-
-        def padded_or_zeros(name, dim):
-            # Missing tables degrade to zero features (reference placeholder
-            # semantics, dataset.py:306-322) so graph shapes always match.
-            if name in t:
-                return padded(t[name].astype(np.float32))
-            return jnp.zeros((n_pad, dim), jnp.float32)
-
-        kw = {}
-        if self.model.vision_feature_dim:
-            kw['vision_features'] = padded_or_zeros(
-                'vision_emb', self.model.vision_feature_dim)
-        if self.model.language_feature_dim:
-            kw['language_features'] = padded_or_zeros(
-                'language_emb', self.model.language_feature_dim)
-        if self.model.num_numerical_features > 0:
-            kw['numerical_features'] = padded_or_zeros(
-                'numerical', self.model.num_numerical_features)
-
+        names = [('vision_features', 'vision_emb',
+                  self.model.vision_feature_dim),
+                 ('language_features', 'language_emb',
+                  self.model.language_feature_dim),
+                 ('numerical_features', 'numerical',
+                  self.model.num_numerical_features)]
         tower = jax.jit(partial(self.model.apply, method='item_tower'))
-        return tower(self.variables, item_idx, tag_idx, **kw)
+
+        parts = []
+        for start in range(0, n_pad, chunk):
+            end = min(start + chunk, n_pad)
+            live = max(0, min(end, n) - start)  # rows before padding
+
+            def padded(arr, dtype):
+                out = np.zeros((chunk,) + arr.shape[1:], dtype)
+                if live:
+                    out[:live] = arr[start:start + live]
+                return jnp.asarray(out)
+
+            idx = np.zeros(chunk, np.int32)
+            idx[:live] = np.arange(start, start + live)
+            kw = {}
+            for kwname, table, dim in names:
+                if not dim:
+                    continue
+                if table in t:
+                    kw[kwname] = padded(t[table], np.float32)
+                else:
+                    # Missing tables degrade to zero features (reference
+                    # placeholder semantics, dataset.py:306-322).
+                    kw[kwname] = jnp.zeros((chunk, dim), jnp.float32)
+            tag = padded(t['tag_idx'], np.int32)
+            parts.append(tower(self.variables, jnp.asarray(idx), tag, **kw))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     # ---------------------------------------------------------- score kernels
     def _score_block_impl(self, variables, item_block: jnp.ndarray,

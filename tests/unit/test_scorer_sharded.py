@@ -210,6 +210,27 @@ class TestShardedRecommender:
                                        rtol=1e-5, atol=1e-6)
 
 
+class TestChunkedTowerBuild:
+    def test_chunked_build_matches_single_shot(self, monkeypatch):
+        """The streaming item-tower build (bounded transient HBM for the
+        raw 2048-dim tables at catalog scale) is bit-identical to the
+        one-shot build, including tail padding."""
+        model, variables, store = _setup(n_items=150)
+        one = CatalogScorer(model, variables, store, item_chunk=64,
+                            user_chunk=8)
+        monkeypatch.setattr(CatalogScorer, '_TOWER_BUILD_CHUNK', 64)
+        many = CatalogScorer(model, variables, store, item_chunk=64,
+                             user_chunk=8)
+        assert many.n_pad == one.n_pad
+        np.testing.assert_array_equal(np.asarray(many._item_feats),
+                                      np.asarray(one._item_feats))
+        users = np.asarray([0, 5, 9], np.int32)
+        v0, i0 = one.top_k(users, 7)
+        v1, i1 = many.top_k(users, 7)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6)
+        np.testing.assert_array_equal(i1, i0)
+
+
 class TestScorerGeometry:
     """Tile/user-block selection logic added with the fused fusion paths."""
 
