@@ -319,14 +319,18 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
 
     def layernorm_token(raw_t, attn):
         """Residual + LayerNorm over the d live lanes, scaled by 1/T
-        (b_out is folded into the raw tables at precompute)."""
-        y = jnp.where(live, raw_t + attn, 0.0)
+        (b_out is folded into the raw tables at precompute). The LN affine
+        (gamma, beta) commutes with the token mean — mean_t(yn_t*g + b) =
+        g * mean_t(yn_t) + b — so it is applied ONCE after the token loop
+        instead of per token (saves ~2 array-wide ops x T). Dead lanes of
+        raw (zero-padded tables) and attn (zero-padded vo) are already 0,
+        so y needs no live-mask; only the mean-centering reintroduces
+        nonzeros there."""
+        y = raw_t + attn
         mu = jnp.sum(y, axis=-1, keepdims=True) * (1.0 / d)
         yc = jnp.where(live, y - mu, 0.0)
         var = jnp.sum(yc * yc, axis=-1, keepdims=True) * (1.0 / d)
-        yn = yc * jax.lax.rsqrt(var + LN_EPS)
-        return (yn * ln_scale[None, None, :]
-                + jnp.where(live, ln_bias[None, None, :], 0.0)) * inv_T
+        return yc * jax.lax.rsqrt(var + LN_EPS) * inv_T
 
     # ---- t = 0: the user token queries all keys — full 5-plane softmax
     # (every key logit is pair-dependent here). Each unrolled iteration
@@ -334,7 +338,6 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     # iteration's scoped-VMEM slots when its value chain is consumed by
     # a ref write (value-accumulator chains keep every iteration live —
     # measured 24.9M scoped at 16x128 without the scratch stores).
-    attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
     for h in range(H):
         l_user = jnp.broadcast_to(
             jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
@@ -353,13 +356,15 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         for m in range(Mi):
             contrib = contrib + ((es[m + 1] * inv)[:, :, None]
                                  * it_vo_slice(m, h)[None, :, :])
-        attn_scr[:] = attn_scr[:] + contrib
+        # h == 0 stores directly: saves the zero-init write plus one
+        # load+add round-trip per tile (heavy-op accounting in
+        # scripts/profile_vpu_roofline.py).
+        attn_scr[:] = contrib if h == 0 else attn_scr[:] + contrib
     fused_scr[:] = layernorm_token(u_raw[:, None, :], attn_scr[:])
 
     # ---- t = 1..T-1: only the user key's logit is pair-dependent.
     # attn = (e_u * u_vo + sexp) / (e_u + dsum), e_u = exp(s_iu - mx).
     for tq in range(Mi):
-        attn_scr[:] = jnp.zeros((TB, TC, dp), f32)
         for h in range(H):
             s_iu = nt_matmul(u_k * head_mask(h), it_tok(it_q, tq))
             dsum = jnp.broadcast_to(
@@ -374,11 +379,16 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
             r = 1.0 / (e_u + dsum)
             contrib = ((e_u * r)[:, :, None] * u_vo_b[h]
                        + r[:, :, None] * it_sexp_slice(tq, h)[None, :, :])
-            attn_scr[:] = attn_scr[:] + contrib
+            attn_scr[:] = contrib if h == 0 else attn_scr[:] + contrib
         raw_t = it_tok(it_raw, tq)[None, :, :]
         fused_scr[:] = fused_scr[:] + layernorm_token(raw_t, attn_scr[:])
 
-    x = fused_scr[:].astype(compute_dtype).reshape(TB * TC, dp)
+    # Deferred LN affine (see layernorm_token): one scale+bias for all T
+    # tokens. Dead lanes may carry bias garbage — w1's pad rows are zero,
+    # so they never reach the MLP.
+    fused = (fused_scr[:] * ln_scale[None, None, :]
+             + ln_bias[None, None, :])
+    x = fused.astype(compute_dtype).reshape(TB * TC, dp)
     w1 = w1_ref[:].astype(compute_dtype)
     b1 = b1_ref[:].astype(compute_dtype)
     x = jnp.dot(x, w1, preferred_element_type=f32)
