@@ -56,7 +56,8 @@ class CatalogScorer:
                  user_chunk: Optional[int] = None,
                  mesh=None, fast_path: bool = True,
                  tile_users: Optional[int] = None,
-                 tile_items: Optional[int] = None):
+                 tile_items: Optional[int] = None,
+                 attention_variant: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.store = feature_store
@@ -99,6 +100,11 @@ class CatalogScorer:
         if tile_users is None:
             tile_users = defaults.get(model.fusion_type, 32)
         self.tile_users = tile_users
+        # Attention kernel variant: 'stream' materializes per-token pre-LN
+        # planes; 'gram' folds LayerNorm into precomputed Gram tables
+        # (ops/attention_scorer.py gram-LN kernel). Default picked by the
+        # measured v5e microbench (scripts/profile_fusion_kernels.py).
+        self.attention_variant = attention_variant or 'stream'
         self.tile_items = tile_items if tile_items else 128
         self._sharded_fns: Dict = {}
         if mesh is not None:
@@ -149,7 +155,8 @@ class CatalogScorer:
             self._head = build_attention_head(variables, model)
             if self._head is not None:
                 self._item_fast = compute_item_side_attention(
-                    self._head, self._item_feats)
+                    self._head, self._item_feats,
+                    with_gram=self.attention_variant == 'gram')
         if self._item_fast is not None and mesh is not None:
             self._item_fast = tuple(
                 jax.device_put(a, item_table_sharding(mesh))
@@ -321,7 +328,8 @@ class CatalogScorer:
             if fusion == 'attention':
                 return pallas_attention_scores(
                     self._head, user_side_p, chunk,
-                    tile_users=TB, tile_items=TC)[:B]
+                    tile_users=TB, tile_items=TC,
+                    variant=self.attention_variant)[:B]
             return pallas_pairwise_scores(self._head, user_side_p[0],
                                           chunk[0], tile_users=TB,
                                           tile_items=TC)[:B]

@@ -48,6 +48,39 @@ from .pairwise_mlp import (
 LN_EPS = 1e-6  # flax nn.LayerNorm default (models/layers.py:75)
 
 
+# ------------------------------------------------------- gram-table layouts
+def _gram_layout(H: int, Mi: int):
+    """Row offsets of the per-item scalar table used by the gram kernel.
+
+    All quantities are per item: means are (1/d)*sum over the d live
+    lanes; Grams are full inner products over the d live lanes.
+    """
+    n_vo = Mi * H
+    rows = {}
+    off = 0
+    rows['m_vo'] = off; off += n_vo            # mean(vo[m,h]), idx m*H+h
+    rows['m_sexp'] = off; off += n_vo          # mean(sexp[t,h]), idx t*H+h
+    rows['m_raw'] = off; off += Mi             # mean(raw_t)
+    rows['g_vovo'] = off; off += n_vo * n_vo   # <vo_a, vo_b>, idx a*n_vo+b
+    rows['g_rr'] = off; off += Mi              # <raw_t, raw_t>
+    rows['g_rsexp'] = off; off += n_vo         # <raw_t, sexp[t,h]>, t*H+h
+    rows['g_ss'] = off; off += Mi * H * H      # <sexp[t,h], sexp[t,h']>
+    rows['e_ii'] = off; off += Mi * Mi * H     # e[tq,mk,h] softmax exps,
+    return rows, off                           #   idx (tq*Mi+mk)*H+h
+
+
+def _user_sc_layout(H: int):
+    """Column offsets of the per-user scalar table (gram kernel)."""
+    cols = {}
+    off = 0
+    cols['m_uraw'] = off; off += 1
+    cols['m_uvo'] = off; off += H
+    cols['g_rr'] = off; off += 1
+    cols['g_rvo'] = off; off += H
+    cols['g_vv'] = off; off += H * H           # <u_vo_h, u_vo_h'>, h*H+h'
+    return cols, off
+
+
 def build_attention_head(variables: dict, model) -> Optional[dict]:
     """Pack attention + LayerNorm + BN-folded MLP params for the fused
     scorer. Returns None for non-attention fusion or unfoldable BN."""
@@ -115,7 +148,8 @@ def _qkvo(head: dict, tokens: jnp.ndarray
     return q, k, vo
 
 
-def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
+def compute_item_side_attention(head: dict, item_feats: jnp.ndarray,
+                                with_gram: bool = True
                                 ) -> Tuple[jnp.ndarray, ...]:
     """Per-item precompute, once per catalog.
 
@@ -160,7 +194,35 @@ def compute_item_side_attention(head: dict, item_feats: jnp.ndarray
     it_vo = _pad_lanes(vo, dp).reshape(N, Mi * H * dp)
     it_sii = sii.reshape(N, H * Mi * Mi)
     it_sexp = _pad_lanes(sexp, dp).reshape(N, Mi * H * dp)
-    return it_raw, it_q, it_k, it_vo, it_sii, it_sexp, it_dm
+
+    if not with_gram:
+        return it_raw, it_q, it_k, it_vo, it_sii, it_sexp, it_dm
+
+    # Per-item scalar table for the gram kernel: means + item-item Grams
+    # of the component vectors + the item-item softmax exps (layout:
+    # _gram_layout). These let the kernel compute every token's LayerNorm
+    # mean/variance from [TB, TC] scalar planes instead of materializing
+    # the [TB, TC, dp] pre-LN vectors. Costs n_sc floats/item of HBM
+    # (_gram_layout; 440 at the H=4, Mi=4 bench geometry) — skipped when
+    # the scorer runs the stream variant.
+    raw_f = item_feats.astype(jnp.float32) + head['b_out']   # [N, Mi, d]
+    vo_f = vo.reshape(N, Mi * H, d)                          # idx m*H+h
+    sexp_f = sexp.reshape(N, Mi * H, d)                      # idx t*H+h
+    inv_d = 1.0 / d
+    it_sc = jnp.concatenate([
+        jnp.sum(vo_f, -1) * inv_d,                           # m_vo
+        jnp.sum(sexp_f, -1) * inv_d,                         # m_sexp
+        jnp.sum(raw_f, -1) * inv_d,                          # m_raw
+        jnp.einsum('nad,nbd->nab', vo_f, vo_f
+                   ).reshape(N, Mi * H * Mi * H),            # g_vovo
+        jnp.sum(raw_f * raw_f, -1),                          # g_rr
+        jnp.einsum('ntd,nthd->nth', raw_f,
+                   sexp).reshape(N, Mi * H),                 # g_rsexp
+        jnp.einsum('nthd,ntgd->nthg', sexp,
+                   sexp).reshape(N, Mi * H * H),             # g_ss
+        e.transpose(0, 2, 3, 1).reshape(N, Mi * Mi * H),     # e_ii
+    ], axis=-1)
+    return it_raw, it_q, it_k, it_vo, it_sii, it_sexp, it_dm, it_sc
 
 
 def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
@@ -171,14 +233,24 @@ def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
       u_raw [B, dp], u_q [B, dp], u_k [B, dp], u_vo [B, H*dp],
       u_suu [B, 8]  (user-token self-attention logit per head, padded)
     """
-    dp, H, dh = head['dp'], head['H'], head['dh']
+    dp, H, dh, d = head['dp'], head['H'], head['dh'], head['d']
     B = user_emb.shape[0]
     q, k, vo = _qkvo(head, user_emb)                 # [B, H*dh], vo [B, H, D]
     suu = jnp.sum(q.reshape(B, H, dh) * k.reshape(B, H, dh), axis=-1)
     suu8 = jnp.zeros((B, 8), jnp.float32).at[:, :H].set(suu)
+    # Per-user scalar table for the gram kernel (layout: _user_sc_layout).
+    raw_f = user_emb.astype(jnp.float32) + head['b_out']     # [B, d]
+    inv_d = 1.0 / d
+    u_sc = jnp.concatenate([
+        jnp.sum(raw_f, -1, keepdims=True) * inv_d,           # m_uraw
+        jnp.sum(vo, -1) * inv_d,                             # m_uvo
+        jnp.sum(raw_f * raw_f, -1, keepdims=True),           # g_rr
+        jnp.einsum('bd,bhd->bh', raw_f, vo),                 # g_rvo
+        jnp.einsum('bhd,bgd->bhg', vo, vo).reshape(B, H * H),
+    ], axis=-1)
     return (_pad_lanes(user_emb.astype(jnp.float32) + head['b_out'], dp),
             _pad_lanes(q, dp), _pad_lanes(k, dp),
-            _pad_lanes(vo, dp).reshape(B, H * dp), suu8)
+            _pad_lanes(vo, dp).reshape(B, H * dp), suu8, u_sc)
 
 
 # --------------------------------------------------------------- XLA fallback
@@ -193,7 +265,7 @@ def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
     d, dp, H, dh = head['d'], head['dp'], head['H'], head['dh']
     Mi = head['n_item_mods']
     T = Mi + 1
-    u_raw, u_q, u_k, u_vo, u_suu = user_side
+    u_raw, u_q, u_k, u_vo, u_suu = user_side[:5]
     it_raw, it_q, it_k, it_vo, it_sii = item_side[:5]
     B, C = u_raw.shape[0], it_raw.shape[0]
 
@@ -398,17 +470,371 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     out_ref[:] = scores.reshape(TB, TC)
 
 
+# ------------------------------------------------------- gram-LN kernel
+def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
+                           u_sc_ref, it_gs_ref, it_q_ref, it_k_ref,
+                           it_dmT_ref, it_scT_ref,
+                           b1_ref, w1_ref, *rest_refs,
+                           out_ref, acc_scr,
+                           n_layers, n_item_mods, H, dh, d, dp, h1,
+                           ln_scale_ref, ln_bias_ref,
+                           activation, final_activation, compute_dtype):
+    """Gram-factorized attention-fusion scoring (LayerNorm folded into
+    precomputed tables).
+
+    The stream kernel (_attention_kernel) materializes every token's
+    pre-LN vector on [TB, TC, dp] planes (~185 dp-wide VPU ops/pair) and
+    is dependency-bound at 58% of the measured VPU ceiling. This variant
+    exploits that each token's pre-LN vector is a LINEAR combination of
+    per-side component vectors with pair-dependent scalar coefficients:
+
+        y_0 = u_raw + sum_h a_h u_vo_h + sum_mh b_mh it_vo_mh
+        y_t = it_raw_t + sum_h [a_th u_vo_h + b_th it_sexp_th]   (t > 0)
+
+    so LayerNorm's mean is linear in the precomputed component means and
+    its variance is a quadratic form over the component Gram matrix:
+    item-item and user-user Grams are precomputed tables
+    (compute_item_side_attention / compute_user_side_attention, layouts
+    in _gram_layout/_user_sc_layout); user-item cross Grams are ONE
+    batched MXU matmul [U*TB, dp] x [I*TC, dp]^T per tile. The final
+    fused vector is then a single combination pass over the component
+    vectors with per-token 1/sigma-folded coefficients — the it_sexp
+    components are further expanded over the it_vo basis via the
+    precomputed item-item softmax exps (e_ii), cutting dp-wide work to
+    ~26 broadcast-mult-accumulates/pair (vs 185).
+
+    Exactness: identical math to the stream kernel except variance is
+    computed as E[y^2] - mu^2 (catastrophic-cancellation-prone only when
+    |mu| >> sigma, which LayerNormed embedding mixtures don't approach);
+    validated against xla_attention_scores at 1e-4 relative.
+    """
+    act = activation_fn(activation)
+    f32 = jnp.float32
+    Mi, T = n_item_mods, n_item_mods + 1
+    n_vo = Mi * H
+    n_i = 2 * n_vo + Mi                     # gram-stack vectors per item
+    GR, _ = _gram_layout(H, Mi)
+    UC, _ = _user_sc_layout(H)
+
+    u_raw = u_raw_ref[:].astype(f32)        # [TB, dp]
+    u_q = u_q_ref[:].astype(f32)
+    u_k = u_k_ref[:].astype(f32)
+    u_suu = u_suu_ref[:]                    # [TB, 8] f32
+    u_sc = u_sc_ref[:]                      # [TB, n_usc] f32
+    it_dmT = it_dmT_ref[:]                  # [H*Mi*2, TC] f32
+    it_scT = it_scT_ref[:]                  # [n_sc, TC] f32
+    ln_scale = ln_scale_ref[:]              # [dp] f32 (gamma/T, padded 0)
+    ln_bias = ln_bias_ref[:]
+    TB, TC = u_raw.shape[0], it_scT.shape[1]
+
+    def nt_matmul(a, b):  # [R, dp] x [S, dp] -> [R, S]
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def head_mask(h):  # [1, dp] f32: 1.0 on head h's dh lanes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
+        return jnp.where((lane >= h * dh) & (lane < (h + 1) * dh), 1.0, 0.0)
+
+    def it_tok(ref, m):  # [TC, dp] token ref slice (full [TC, Mi*dp]
+        return ref[:, m * dp:(m + 1) * dp].astype(f32)   # loads are VMEM)
+
+    def us(c):  # user scalar column -> [TB, 1]
+        return jax.lax.slice(u_sc, (0, c), (TB, c + 1))
+
+    def isc(r):  # item scalar row -> [1, TC]
+        return jax.lax.slice(it_scT, (r, 0), (r + 1, TC))
+
+    def gs_vec(i):  # component vector i -> [TC, dp] ref slice
+        return it_gs_ref[i].astype(f32)
+
+    # ---- user-item cross Grams. Ug rows: 0 = u_raw, 1+h = u_vo_h;
+    # gram-stack vectors: vo (m*H+h), sexp (n_vo + t*H+h), raw
+    # (2*n_vo + t). One small MXU matmul per component vector against a
+    # ref slice — a single [(1+H)*TB, n_i*TC] matmul over the reshaped
+    # stack costs two extra whole-stack VMEM copies (2.4MB each at the
+    # bench geometry: the full-block load + the reshape), which is what
+    # blew the 16MB scoped-VMEM limit.
+    Ug = jnp.concatenate(
+        [u_raw] + [u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
+                   for h in range(H)], axis=0)          # [(1+H)*TB, dp]
+    GPs = [nt_matmul(Ug, gs_vec(i)) for i in range(n_i)]
+
+    def gp(uvec, ivec):  # [TB, TC] cross-Gram plane
+        return jax.lax.slice(GPs[ivec], (uvec * TB, 0),
+                             ((uvec + 1) * TB, TC))
+
+    # ---- pairwise attention logits, batched over heads: Mi matmuls for
+    # t=0 (user queries item keys) + Mi for t>0 (item tokens query the
+    # user key) instead of Mi*H each.
+    Aq = jnp.concatenate([u_q * head_mask(h) for h in range(H)], axis=0)
+    Ak = jnp.concatenate([u_k * head_mask(h) for h in range(H)], axis=0)
+    s0 = [nt_matmul(Aq, it_tok(it_k_ref, m)) for m in range(Mi)]
+    siu = [nt_matmul(Ak, it_tok(it_q_ref, t)) for t in range(Mi)]
+
+    def hplane(stack, h):  # [TB, TC] head plane of a batched result
+        return jax.lax.slice(stack, (h * TB, 0), ((h + 1) * TB, TC))
+
+    # ---- t=0 softmax coefficients (full 5-plane softmax per head).
+    alpha = []                               # [h] -> [TB, TC]
+    beta = [[None] * H for _ in range(Mi)]   # [m][h]
+    for h in range(H):
+        l_user = jnp.broadcast_to(
+            jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
+        planes = [l_user] + [hplane(s0[m], h) for m in range(Mi)]
+        mx = planes[0]
+        for p in planes[1:]:
+            mx = jnp.maximum(mx, p)
+        es = [jnp.exp(p - mx) for p in planes]
+        tot = es[0]
+        for e in es[1:]:
+            tot = tot + e
+        inv = 1.0 / tot
+        alpha.append(es[0] * inv)
+        for m in range(Mi):
+            beta[m][h] = es[m + 1] * inv
+
+    # ---- t>0 coefficients: a = e_u/(e_u+dsum) on u_vo, b = 1/(e_u+dsum)
+    # on the precomputed item-key softmax mass (sexp).
+    a_c = [[None] * H for _ in range(Mi)]
+    b_c = [[None] * H for _ in range(Mi)]
+    for t in range(Mi):
+        for h in range(H):
+            dsum = jnp.broadcast_to(
+                jax.lax.slice(it_dmT, ((h * Mi + t) * 2, 0),
+                              ((h * Mi + t) * 2 + 1, TC)), (TB, TC))
+            mx = jnp.broadcast_to(
+                jax.lax.slice(it_dmT, ((h * Mi + t) * 2 + 1, 0),
+                              ((h * Mi + t) * 2 + 2, TC)), (TB, TC))
+            e_u = jnp.exp(jnp.minimum(hplane(siu[t], h) - mx, 80.0))
+            r = 1.0 / (e_u + dsum)
+            a_c[t][h] = e_u * r
+            b_c[t][h] = r
+
+    inv_d = 1.0 / d
+
+    def ivo(m, h):
+        return m * H + h
+
+    def isx(t, h):
+        return n_vo + t * H + h
+
+    def irw(t):
+        return 2 * n_vo + t
+
+    # ---- token 0 LayerNorm stats from Grams.
+    mu0 = jnp.broadcast_to(us(UC['m_uraw']), (TB, TC))
+    S0 = jnp.broadcast_to(us(UC['g_rr']), (TB, TC))
+    for h in range(H):
+        mu0 = mu0 + alpha[h] * us(UC['m_uvo'] + h)
+        S0 = S0 + (2.0 * alpha[h]) * us(UC['g_rvo'] + h)
+        for h2 in range(H):
+            S0 = S0 + (alpha[h] * alpha[h2]) * us(UC['g_vv'] + h * H + h2)
+    for m in range(Mi):
+        for h in range(H):
+            b_mh = beta[m][h]
+            mu0 = mu0 + b_mh * isc(GR['m_vo'] + ivo(m, h))
+            S0 = S0 + (2.0 * b_mh) * gp(0, ivo(m, h))
+            for h2 in range(H):
+                S0 = S0 + (alpha[h2] * b_mh) * (2.0 * gp(1 + h2, ivo(m, h)))
+    # item-item vo Gram quadratic (symmetric: off-diagonal doubled).
+    for a in range(n_vo):
+        ba = beta[a // H][a % H]
+        for b in range(a, n_vo):
+            bb = beta[b // H][b % H]
+            w = (1.0 if a == b else 2.0)
+            S0 = S0 + (ba * bb) * (w * isc(GR['g_vovo'] + a * n_vo + b))
+    var0 = S0 * inv_d - mu0 * mu0
+    isig0 = jax.lax.rsqrt(var0 + LN_EPS)
+
+    # ---- tokens t>0 LayerNorm stats.
+    isig = []
+    mus = []
+    for t in range(Mi):
+        mu = jnp.broadcast_to(isc(GR['m_raw'] + t), (TB, TC))
+        S = jnp.broadcast_to(isc(GR['g_rr'] + t), (TB, TC))
+        for h in range(H):
+            a_h, b_h = a_c[t][h], b_c[t][h]
+            mu = mu + a_h * us(UC['m_uvo'] + h) + b_h * isc(
+                GR['m_sexp'] + t * H + h)
+            S = S + (2.0 * a_h) * gp(1 + h, irw(t))
+            S = S + (2.0 * b_h) * isc(GR['g_rsexp'] + t * H + h)
+            for h2 in range(H):
+                S = S + (a_h * a_c[t][h2]) * us(UC['g_vv'] + h * H + h2)
+                S = S + (2.0 * a_h * b_c[t][h2]) * gp(1 + h, isx(t, h2))
+                S = S + (b_h * b_c[t][h2]) * isc(
+                    GR['g_ss'] + t * H * H + h * H + h2)
+        var = S * inv_d - mu * mu
+        isig.append(jax.lax.rsqrt(var + LN_EPS))
+        mus.append(mu)
+
+    # ---- combination coefficients (1/sigma folded; sexp expanded over
+    # the vo basis via e_ii so only 1 + H + Mi*H + Mi + 1 dp-wide
+    # accumulates remain).
+    w_uvo = []
+    for h in range(H):
+        w = alpha[h] * isig0
+        for t in range(Mi):
+            w = w + a_c[t][h] * isig[t]
+        w_uvo.append(w)
+    w_vo = [[None] * H for _ in range(Mi)]
+    for m in range(Mi):
+        for h in range(H):
+            w = beta[m][h] * isig0
+            for t in range(Mi):
+                w = w + (b_c[t][h] * isig[t]) * isc(
+                    GR['e_ii'] + (t * Mi + m) * H + h)
+            w_vo[m][h] = w
+    ones_c = mu0 * isig0
+    for t in range(Mi):
+        ones_c = ones_c + mus[t] * isig[t]
+
+    # ---- the single dp-wide combination pass. Each unrolled step closes
+    # with a scratch-ref store so Mosaic reuses the [TB, TC, dp] slot
+    # (value-accumulator chains keep every iteration live — the same
+    # liveness rule the stream kernel's attn_scr enforces).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2)
+    live_f = jnp.where(lane < d, 1.0, 0.0)
+    acc_scr[:] = isig0[:, :, None] * u_raw[:, None, :]
+    for h in range(H):
+        acc_scr[:] = acc_scr[:] + w_uvo[h][:, :, None] * jax.lax.slice(
+            Ug, ((1 + h) * TB, 0), ((2 + h) * TB, dp))[:, None, :]
+    for m in range(Mi):
+        for h in range(H):
+            acc_scr[:] = (acc_scr[:]
+                          + w_vo[m][h][:, :, None] * gs_vec(ivo(m, h))[None])
+    for t in range(Mi):
+        acc_scr[:] = acc_scr[:] + isig[t][:, :, None] * gs_vec(irw(t))[None]
+    acc = acc_scr[:] - ones_c[:, :, None] * live_f
+
+    # ln_scale already carries gamma * (1/T); dead lanes are zero on both
+    # affine vectors so they stay zero into the (zero-pad-row) MLP.
+    fused = acc * ln_scale[None, None, :] + ln_bias[None, None, :]
+    x = fused.astype(compute_dtype).reshape(TB * TC, dp)
+    w1 = w1_ref[:].astype(compute_dtype)
+    b1 = b1_ref[:].astype(compute_dtype)
+    x = jnp.dot(x, w1, preferred_element_type=f32)
+    x = act((x + b1).astype(compute_dtype))
+    scores = _mlp_chain(x, rest_refs, n_layers, act, final_activation,
+                        compute_dtype)
+    out_ref[:] = scores.reshape(TB, TC)
+
+
+def _pallas_attention_scores_gram(
+        head: dict, user_side: Tuple[jnp.ndarray, ...],
+        item_side: Tuple[jnp.ndarray, ...],
+        tile_users: int, tile_items: int,
+        compute_dtype, interpret: bool) -> jnp.ndarray:
+    """Gram-variant dispatch: builds the per-chunk [I, C, dp] component
+    stack (one XLA transpose of existing tables — no extra HBM-resident
+    tables) and calls _attention_gram_kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    u_raw, u_q, u_k, u_vo, u_suu, u_sc = user_side[:6]
+    it_raw, it_q, it_k, it_vo, _it_sii, it_sexp, it_dm, it_sc = item_side[:8]
+    B, dp = u_raw.shape
+    C = it_raw.shape[0]
+    n_layers = len(head['layers'])
+    grid = (B // tile_users, C // tile_items)
+    H, Mi = head['H'], head['n_item_mods']
+    n_vo = Mi * H
+    n_i = 2 * n_vo + Mi
+
+    it_gs = jnp.concatenate([
+        it_vo.reshape(C, n_vo, dp).transpose(1, 0, 2),
+        it_sexp.reshape(C, n_vo, dp).transpose(1, 0, 2),
+        it_raw.reshape(C, Mi, dp).transpose(1, 0, 2),
+    ], axis=0)                                       # [n_i, C, dp]
+    it_dmT = it_dm.reshape(C, H * Mi * 2).T
+    it_scT = it_sc.T                                 # [n_sc, C]
+
+    def u_spec(a):
+        return pl.BlockSpec((tile_users, a.shape[1]), lambda i, j: (i, 0))
+
+    def it_spec(a):
+        return pl.BlockSpec((tile_items, a.shape[1]), lambda i, j: (j, 0))
+
+    layer_specs, layer_args = [], []
+    for w, b in head['layers']:
+        layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+        layer_args.extend([w, b])
+
+    T = Mi + 1
+    ln_scale = _pad_lanes(head['ln_scale'] / T, dp)  # gamma/T folded
+    ln_bias = _pad_lanes(head['ln_bias'], dp)
+
+    kernel = functools.partial(
+        _attention_gram_kernel, n_layers=n_layers,
+        n_item_mods=Mi, H=H, dh=head['dh'],
+        d=head['d'], dp=dp, h1=head['h1'],
+        activation=head['activation'],
+        final_activation=head['final_activation'],
+        compute_dtype=compute_dtype)
+
+    def wrapped(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref, u_sc_ref,
+                it_gs_ref, it_q_ref, it_k_ref, it_dmT_ref, it_scT_ref,
+                b1_ref, w1_ref, ln_scale_ref, ln_bias_ref, *rest):
+        *layer_refs, out_ref, acc_scr = rest
+        kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref, u_sc_ref,
+               it_gs_ref, it_q_ref, it_k_ref, it_dmT_ref, it_scT_ref,
+               b1_ref, w1_ref, *layer_refs, out_ref=out_ref,
+               acc_scr=acc_scr,
+               ln_scale_ref=ln_scale_ref, ln_bias_ref=ln_bias_ref)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            u_spec(u_raw), u_spec(u_q), u_spec(u_k), u_spec(u_vo),
+            u_spec(u_suu), u_spec(u_sc),
+            pl.BlockSpec((n_i, tile_items, dp), lambda i, j: (0, j, 0)),
+            it_spec(it_q), it_spec(it_k),
+            pl.BlockSpec((it_dmT.shape[0], tile_items),
+                         lambda i, j: (0, j)),
+            pl.BlockSpec((it_scT.shape[0], tile_items),
+                         lambda i, j: (0, j)),
+            pl.BlockSpec(head['b1'].shape, lambda i, j: (0,)),
+            pl.BlockSpec(head['w1'].shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(ln_scale.shape, lambda i, j: (0,)),
+            pl.BlockSpec(ln_bias.shape, lambda i, j: (0,)),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_users, tile_items),
+                               lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_users, tile_items, dp), jnp.float32),
+        ],
+        # The gram stack block + its CSE'd loads put the 8x128 tile at
+        # ~18MB scoped VMEM — above the 16MB compiler default but well
+        # under the 128MB physical VMEM. Raise the scoped limit rather
+        # than shrinking tiles below the lane width.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(u_raw, u_q, u_k, u_vo, u_suu, u_sc,
+      it_gs, it_q, it_k, it_dmT, it_scT,
+      head['b1'], head['w1'], ln_scale, ln_bias, *layer_args)
+
+
 def pallas_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
                             item_side: Tuple[jnp.ndarray, ...],
                             tile_users: int = 8, tile_items: int = 128,
                             compute_dtype=jnp.bfloat16,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            variant: str = 'stream') -> jnp.ndarray:
     """Fused attention-fusion pair scoring on TPU: -> [B, C] f32 scores."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    u_raw, u_q, u_k, u_vo, u_suu = user_side
-    it_raw, it_q, it_k, it_vo, _it_sii, it_sexp, it_dm = item_side
+    if variant == 'gram':
+        return _pallas_attention_scores_gram(
+            head, user_side, item_side, tile_users, tile_items,
+            compute_dtype, interpret)
+
+    u_raw, u_q, u_k, u_vo, u_suu = user_side[:5]
+    it_raw, it_q, it_k, it_vo, _it_sii, it_sexp, it_dm = item_side[:7]
     B, dp = u_raw.shape
     C = it_raw.shape[0]
     n_layers = len(head['layers'])

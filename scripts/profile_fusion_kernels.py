@@ -124,19 +124,27 @@ def main():
 
         timed('gated', lambda: run_gated(uf, ug, itf, ig), pairs)
 
-    if which in ('attention', 'all'):
+    if which in ('attention', 'attention_gram', 'all'):
+        from pixelrec_multimodal_tpu.ops.attention_scorer import (
+            _gram_layout,
+            _user_sc_layout,
+        )
+
         head = dict(base, n_item_mods=MI, H=HEADS, dh=D // HEADS, d=D,
                     dp=DP,
                     w1=jnp.asarray(rng.standard_normal((DP, H1)),
                                    jnp.float32) * 0.05,
                     ln_scale=jnp.ones(D, jnp.float32),
                     ln_bias=jnp.zeros(D, jnp.float32))
+        _, n_sc = _gram_layout(HEADS, MI)
+        _, n_usc = _user_sc_layout(HEADS)
         user_side = (
             jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
             jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
             jnp.asarray(rng.standard_normal((B, DP)), jnp.float32),
             jnp.asarray(rng.standard_normal((B, HEADS * DP)), jnp.float32),
             jnp.asarray(rng.standard_normal((B, 8)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, n_usc)), jnp.float32),
         )
         item_side = (
             jnp.asarray(rng.standard_normal((C, MI * DP)), jnp.float32),
@@ -151,18 +159,29 @@ def main():
             # [dsum, mx] pairs; dsum strictly positive
             jnp.asarray(np.abs(rng.standard_normal((C, HEADS * MI * 2)))
                         + 0.5, jnp.float32),
+            jnp.asarray(rng.standard_normal((C, n_sc)), jnp.float32),
         )
         kw = {}
         if tb:
             kw = {'tile_users': tb, 'tile_items': tc or 128}
 
-        @jax.jit
-        def run_attention(user_side, item_side):
-            return jnp.sum(
-                pallas_attention_scores(head, user_side, item_side, **kw))
+        if which in ('attention', 'all'):
+            @jax.jit
+            def run_attention(user_side, item_side):
+                return jnp.sum(
+                    pallas_attention_scores(head, user_side, item_side, **kw))
 
-        timed('attention', lambda: run_attention(user_side, item_side),
-              pairs)
+            timed('attention', lambda: run_attention(user_side, item_side),
+                  pairs)
+
+        if which in ('attention_gram', 'all'):
+            @jax.jit
+            def run_gram(user_side, item_side):
+                return jnp.sum(pallas_attention_scores(
+                    head, user_side, item_side, variant='gram', **kw))
+
+            timed('attention_gram',
+                  lambda: run_gram(user_side, item_side), pairs)
 
 
 if __name__ == '__main__':

@@ -69,7 +69,9 @@ def sides(model, variables, B=4, C=12, seed=1):
                                        jnp.float32))
     item_feats = model.apply(variables, item_idx, tag_idx,
                              method='item_tower', **kw)
-    user_idx = jnp.arange(B, dtype=jnp.int32)
+    # Wrap into the embedding-table range: out-of-range ids produce NaN
+    # rows that would make every comparison a NaN==NaN freebie.
+    user_idx = jnp.arange(B, dtype=jnp.int32) % N_USERS
     user_emb = model.apply(variables, user_idx, method='user_tower')
     ue = jnp.repeat(user_emb, C, axis=0)
     it = jnp.tile(item_feats, (B, 1, 1))
@@ -123,6 +125,39 @@ class TestAttentionKernel:
             compute_dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize('heads', [1, 2])
+    def test_gram_variant_matches_xla(self, heads):
+        """Gram-factorized LayerNorm variant: identical math via
+        precomputed Gram tables (E[y^2]-mu^2 variance), so the tolerance
+        is looser than the stream kernel's."""
+        model = make_model(heads=heads)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        ref = xla_attention_scores(head, user_side, item_side)
+        assert not np.isnan(np.asarray(ref)).any()
+        out = pallas_attention_scores(
+            head, user_side, item_side, tile_users=16, tile_items=128,
+            compute_dtype=jnp.float32, interpret=True, variant='gram')
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_gram_multi_tile_grid(self):
+        model = make_model(use_batch_norm=False)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=32, C=256, seed=7)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        ref = xla_attention_scores(head, user_side, item_side)
+        out = pallas_attention_scores(
+            head, user_side, item_side, tile_users=16, tile_items=128,
+            compute_dtype=jnp.float32, interpret=True, variant='gram')
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
 
     def test_multi_tile_grid(self):
         model = make_model(use_batch_norm=False)
