@@ -70,14 +70,25 @@ class CatalogScorer:
         # fewer streaming-top-k merges per catalog pass. Under a mesh the
         # catalog axis is sharded over 'model': keep chunks smaller so
         # n_pad (a multiple of chunk * shards) stays near n_items.
+        # Attention kernel variant: 'stream' materializes per-token pre-LN
+        # planes (16MB scoped-VMEM bound, 27.9M pairs/s kernel-only);
+        # 'gram' folds LayerNorm into precomputed Gram tables (56.6M
+        # measured, raised VMEM limit) — the TPU default. CPU fast-path
+        # scoring uses the XLA fallback either way, so off-TPU defaults
+        # to 'stream' to skip building the gram tables.
+        if attention_variant is None:
+            attention_variant = ('gram' if jax.default_backend() == 'tpu'
+                                 else 'stream')
+        self.attention_variant = attention_variant
         if item_chunk is None:
-            # Attention keeps smaller chunks: its kernel is VPU-bound
-            # (merge savings negligible) and the 32768-item grid pushes
-            # scoped VMEM past the 16MB limit (17.1M measured). Gated is
-            # measured at 32768 (bench_fusion); concat takes the sweep
-            # optimum 65536.
+            # Attention (stream) keeps smaller chunks: the 32768-item
+            # grid pushes scoped VMEM past the 16MB limit (17.1M
+            # measured). The gram variant runs under a raised VMEM limit
+            # and takes the gated-size chunk. Gated is measured at 32768
+            # (bench_fusion); concat takes the sweep optimum 65536.
+            attn_chunk = 32768 if attention_variant == 'gram' else 8192
             per_fusion = {'concatenate': 65536, 'gated': 32768,
-                          'attention': 8192}
+                          'attention': attn_chunk}
             item_chunk = (per_fusion.get(model.fusion_type, 32768)
                           if jax.default_backend() == 'tpu'
                           and mesh is None else 8192)
@@ -100,11 +111,6 @@ class CatalogScorer:
         if tile_users is None:
             tile_users = defaults.get(model.fusion_type, 32)
         self.tile_users = tile_users
-        # Attention kernel variant: 'stream' materializes per-token pre-LN
-        # planes; 'gram' folds LayerNorm into precomputed Gram tables
-        # (ops/attention_scorer.py gram-LN kernel). Default picked by the
-        # measured v5e microbench (scripts/profile_fusion_kernels.py).
-        self.attention_variant = attention_variant or 'stream'
         self.tile_items = tile_items if tile_items else 128
         self._sharded_fns: Dict = {}
         if mesh is not None:

@@ -209,17 +209,21 @@ def compute_item_side_attention(head: dict, item_feats: jnp.ndarray,
     vo_f = vo.reshape(N, Mi * H, d)                          # idx m*H+h
     sexp_f = sexp.reshape(N, Mi * H, d)                      # idx t*H+h
     inv_d = 1.0 / d
+    # Full-f32 einsums: the Grams feed LayerNorm statistics, where the
+    # MXU's default bf16-multiply precision costs ~1e-3 of score
+    # accuracy (measured; see gram_matmul in the kernel).
+    hi = jax.lax.Precision.HIGHEST
     it_sc = jnp.concatenate([
         jnp.sum(vo_f, -1) * inv_d,                           # m_vo
         jnp.sum(sexp_f, -1) * inv_d,                         # m_sexp
         jnp.sum(raw_f, -1) * inv_d,                          # m_raw
-        jnp.einsum('nad,nbd->nab', vo_f, vo_f
-                   ).reshape(N, Mi * H * Mi * H),            # g_vovo
+        jnp.einsum('nad,nbd->nab', vo_f, vo_f,
+                   precision=hi).reshape(N, Mi * H * Mi * H),  # g_vovo
         jnp.sum(raw_f * raw_f, -1),                          # g_rr
-        jnp.einsum('ntd,nthd->nth', raw_f,
-                   sexp).reshape(N, Mi * H),                 # g_rsexp
-        jnp.einsum('nthd,ntgd->nthg', sexp,
-                   sexp).reshape(N, Mi * H * H),             # g_ss
+        jnp.einsum('ntd,nthd->nth', raw_f, sexp,
+                   precision=hi).reshape(N, Mi * H),         # g_rsexp
+        jnp.einsum('nthd,ntgd->nthg', sexp, sexp,
+                   precision=hi).reshape(N, Mi * H * H),     # g_ss
         e.transpose(0, 2, 3, 1).reshape(N, Mi * Mi * H),     # e_ii
     ], axis=-1)
     return it_raw, it_q, it_k, it_vo, it_sii, it_sexp, it_dm, it_sc
@@ -241,12 +245,14 @@ def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
     # Per-user scalar table for the gram kernel (layout: _user_sc_layout).
     raw_f = user_emb.astype(jnp.float32) + head['b_out']     # [B, d]
     inv_d = 1.0 / d
+    hi = jax.lax.Precision.HIGHEST  # LN-stat Grams need full f32
     u_sc = jnp.concatenate([
         jnp.sum(raw_f, -1, keepdims=True) * inv_d,           # m_uraw
         jnp.sum(vo, -1) * inv_d,                             # m_uvo
         jnp.sum(raw_f * raw_f, -1, keepdims=True),           # g_rr
-        jnp.einsum('bd,bhd->bh', raw_f, vo),                 # g_rvo
-        jnp.einsum('bhd,bgd->bhg', vo, vo).reshape(B, H * H),
+        jnp.einsum('bd,bhd->bh', raw_f, vo, precision=hi),   # g_rvo
+        jnp.einsum('bhd,bgd->bhg', vo, vo,
+                   precision=hi).reshape(B, H * H),
     ], axis=-1)
     return (_pad_lanes(user_emb.astype(jnp.float32) + head['b_out'], dp),
             _pad_lanes(q, dp), _pad_lanes(k, dp),
@@ -557,7 +563,18 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     Ug = jnp.concatenate(
         [u_raw] + [u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
                    for h in range(H)], axis=0)          # [(1+H)*TB, dp]
-    GPs = [nt_matmul(Ug, gs_vec(i)) for i in range(n_i)]
+
+    def gram_matmul(a, b):
+        # LN statistics are precision-sensitive: at the MXU's default
+        # (bf16-multiply) precision the cross-Grams carry ~1e-3 relative
+        # error that surfaces as 1e-3 score divergence vs the stream
+        # kernel (measured on v5e). Full-f32 passes on these tiny
+        # [(1+H)*TB, dp] matmuls are noise next to the VPU work.
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    GPs = [gram_matmul(Ug, gs_vec(i)) for i in range(n_i)]
 
     def gp(uvec, ivec):  # [TB, TC] cross-Gram plane
         return jax.lax.slice(GPs[ivec], (uvec * TB, 0),
