@@ -147,12 +147,13 @@ class CatalogScorer:
             self._head = build_factorized_head(variables, model)
             if self._head is not None:
                 if model.fusion_type == 'concatenate':
-                    item_flat = self._item_feats.reshape(self.n_pad, -1)
-                    self._item_fast = (
-                        compute_item_first(self._head, item_flat),)
+                    self._item_fast = self._build_item_fast(
+                        lambda feats: (compute_item_first(
+                            self._head,
+                            feats.reshape(feats.shape[0], -1)),))
                 else:
-                    self._item_fast = compute_item_side_gated(
-                        self._head, self._item_feats)
+                    self._item_fast = self._build_item_fast(
+                        partial(compute_item_side_gated, self._head))
         elif fast_path and model.fusion_type == 'attention':
             from ..ops.attention_scorer import (
                 build_attention_head,
@@ -160,9 +161,9 @@ class CatalogScorer:
             )
             self._head = build_attention_head(variables, model)
             if self._head is not None:
-                self._item_fast = compute_item_side_attention(
-                    self._head, self._item_feats,
-                    with_gram=self.attention_variant == 'gram')
+                self._item_fast = self._build_item_fast(
+                    partial(compute_item_side_attention, self._head,
+                            with_gram=self.attention_variant == 'gram'))
         if self._item_fast is not None and mesh is not None:
             self._item_fast = tuple(
                 jax.device_put(a, item_table_sharding(mesh))
@@ -223,6 +224,39 @@ class CatalogScorer:
             tag = padded(t['tag_idx'], np.int32)
             parts.append(tower(self.variables, jnp.asarray(idx), tag, **kw))
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def _build_item_fast(self, compute) -> Tuple[jnp.ndarray, ...]:
+        """Apply a per-item fused-table compute over the padded catalog in
+        fixed-size chunks.
+
+        The whole-catalog einsums inside the per-fusion precomputes spike
+        transient HBM at PixelRec scale (attention at 262k items OOMed a
+        16GB chip building vo/sexp for every item at once), and a
+        parts-list + concatenate doubles the final-table peak. Chunks are
+        written into preallocated device tables through a DONATED jit
+        update, so peak transient HBM is one chunk's tables + compute
+        temporaries; the resident cost is the final tables alone.
+        """
+        n_pad = self.n_pad
+        chunk = min(self._TOWER_BUILD_CHUNK, n_pad)
+        if chunk == n_pad:
+            return tuple(compute(self._item_feats))
+        compute_c = jax.jit(lambda feats: tuple(compute(feats)))
+
+        @partial(jax.jit, donate_argnums=0)
+        def write(outs, parts, start):
+            return tuple(
+                jax.lax.dynamic_update_slice_in_dim(o, p, start, axis=0)
+                for o, p in zip(outs, parts))
+
+        first = compute_c(self._item_feats[:chunk])
+        outs = tuple(jnp.zeros((n_pad,) + f.shape[1:], f.dtype)
+                     for f in first)
+        outs = write(outs, first, jnp.int32(0))
+        for start in range(chunk, n_pad, chunk):
+            parts = compute_c(self._item_feats[start:start + chunk])
+            outs = write(outs, parts, jnp.int32(start))
+        return outs
 
     # ---------------------------------------------------------- score kernels
     def _score_block_impl(self, variables, item_block: jnp.ndarray,

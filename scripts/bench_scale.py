@@ -41,6 +41,8 @@ def main():
                    help='user blocks to time (steady state)')
     p.add_argument('--device', type=str, default=None,
                    help="JAX platform override (e.g. 'cpu' for smoke runs)")
+    p.add_argument('--fusion', type=str, default='concatenate',
+                   choices=['concatenate', 'gated', 'attention'])
     args = p.parse_args()
 
     import jax
@@ -61,7 +63,7 @@ def main():
         num_numerical_features=NUM, embedding_dim=64,
         vision_feature_dim=VIS, language_feature_dim=LANG,
         use_contrastive=False, fusion_hidden_dims=(512, 256, 128),
-        fusion_type='concatenate', use_batch_norm=True, dropout_rate=0.0,
+        fusion_type=args.fusion, use_batch_norm=True, dropout_rate=0.0,
         dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -134,6 +136,7 @@ def main():
 
     print(json.dumps({
         'metric': 'at_scale_full_catalog_topk',
+        'fusion': args.fusion,
         'n_items': n_items, 'n_users_block': scorer.user_chunk,
         'pairs_per_sec': round(rate, 1),
         'steady_block_s': round(steady_s, 3),

@@ -98,6 +98,48 @@ class TestAttentionHead:
         np.testing.assert_allclose(np.asarray(fast), np.asarray(generic),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_with_gram_false_skips_gram_tables(self):
+        """with_gram=False returns the 7-tuple (no it_sc) — the scorer
+        skips the ~n_sc floats/item HBM cost under the stream variant."""
+        model = make_model()
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables)
+        short = compute_item_side_attention(head, item_feats,
+                                            with_gram=False)
+        full = compute_item_side_attention(head, item_feats, with_gram=True)
+        assert len(short) == 7 and len(full) == 8
+        for a, b in zip(short, full[:7]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_scorer_variant_resolution(self):
+        """Off-TPU the scorer defaults to 'stream' (no gram tables);
+        an explicit 'gram' builds the 8-tuple."""
+        from pixelrec_multimodal_tpu.data.feature_store import (
+            ItemFeatureStore,
+        )
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        model = make_model()
+        variables = init_variables(model)
+        rng = np.random.default_rng(4)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS) % N_TAGS).astype(
+            np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+        auto = CatalogScorer(model, variables, store, item_chunk=128,
+                             user_chunk=8)
+        assert auto.attention_variant == 'stream'  # CPU backend
+        assert len(auto._item_fast) == 7
+        gram = CatalogScorer(model, variables, store, item_chunk=128,
+                             user_chunk=8, attention_variant='gram')
+        assert len(gram._item_fast) == 8
+
     def test_non_attention_returns_none(self):
         model = MultimodalRecommender(
             n_users=4, n_items=8, n_tags=2, num_numerical_features=0,

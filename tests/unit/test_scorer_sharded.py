@@ -230,6 +230,31 @@ class TestChunkedTowerBuild:
         np.testing.assert_allclose(v1, v0, rtol=1e-6)
         np.testing.assert_array_equal(i1, i0)
 
+    @pytest.mark.parametrize('fusion,variant', [
+        ('concatenate', None), ('gated', None),
+        ('attention', 'stream'), ('attention', 'gram')])
+    def test_chunked_fast_tables_match_single_shot(self, monkeypatch,
+                                                   fusion, variant):
+        """The streamed fused-table build (donated in-place chunk writes;
+        the whole-catalog attention precompute OOMed a 16GB chip at 262k
+        items) is bit-identical to the one-shot build for every fusion
+        type and attention variant."""
+        kw = {} if variant is None else {'attention_variant': variant}
+        model, variables, store = _setup(fusion)
+        one = CatalogScorer(model, variables, store, item_chunk=64,
+                            user_chunk=8, **kw)
+        monkeypatch.setattr(CatalogScorer, '_TOWER_BUILD_CHUNK', 64)
+        many = CatalogScorer(model, variables, store, item_chunk=64,
+                             user_chunk=8, **kw)
+        assert one._head is not None and many._head is not None
+        assert len(many._item_fast) == len(one._item_fast)
+        for a, b in zip(many._item_fast, one._item_fast):
+            # Tight allclose, not bit-equal: XLA tiles a [192, K] and a
+            # [64, K] matmul differently, so accumulation order (and the
+            # last ulp) differs between the one-shot and chunked builds.
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestScorerGeometry:
     """Tile/user-block selection logic added with the fused fusion paths."""
