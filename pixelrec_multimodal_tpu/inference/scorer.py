@@ -51,6 +51,13 @@ class CatalogScorer:
     # sweeps run at the large-block throughput optimum.
     _BLOCK_CLASSES = (64, 512, 4096, 8192)
 
+    # Above this padded-table size, attention tables are stored
+    # lane-packed (see the attention branch in __init__). 4GB keeps the
+    # 65k-item bench geometry (2.05GB padded) on the fast padded layout
+    # while the donated streamed build of a packed 7GB-padded catalog
+    # (200k items) stays well inside a 16GB chip.
+    _PACK_BYTES = 4 << 30
+
     def __init__(self, model, variables: Dict, feature_store,
                  item_chunk: Optional[int] = None,
                  user_chunk: Optional[int] = None,
@@ -135,9 +142,13 @@ class CatalogScorer:
         # ``_item_fast`` is the tuple of per-item precomputed tables:
         # concat    -> (item_first [n_pad, h1],)
         # gated     -> (item_first [n_pad, Mi*h1], item_gates [n_pad, GATE_PAD])
-        # attention -> (raw, q, k, vo, sii) token/head tables.
+        # attention -> (raw, q, k, vo, sii, sexp, dm[, sc]) token/head
+        #              tables; big catalogs store them lane-PACKED
+        #              (ops/attention_scorer.pack_attention_tables) and
+        #              re-pad per chunk in _fast_pair_scores.
         self._head = None
         self._item_fast = None
+        self._attn_packed = False
         if fast_path and model.fusion_type in ('concatenate', 'gated'):
             from ..ops.pairwise_mlp import (
                 build_factorized_head,
@@ -156,14 +167,35 @@ class CatalogScorer:
                         partial(compute_item_side_gated, self._head))
         elif fast_path and model.fusion_type == 'attention':
             from ..ops.attention_scorer import (
+                _gram_layout,
                 build_attention_head,
                 compute_item_side_attention,
+                pack_attention_tables,
             )
             self._head = build_attention_head(variables, model)
             if self._head is not None:
-                self._item_fast = self._build_item_fast(
-                    partial(compute_item_side_attention, self._head,
-                            with_gram=self.attention_variant == 'gram'))
+                h = self._head
+                with_gram = self.attention_variant == 'gram'
+                padded_bytes = self.n_pad * 4 * (
+                    (3 * h['n_item_mods']
+                     + 2 * h['n_item_mods'] * h['H']) * h['dp']
+                    + h['H'] * h['n_item_mods'] * (h['n_item_mods'] + 2)
+                    + (_gram_layout(h['H'], h['n_item_mods'])[1]
+                       if with_gram else 0))
+                # Big catalogs store the tables lane-PACKED (halves HBM
+                # residency at d=64 — 200k items @ the flagship geometry
+                # OOMed padded) and re-pad per chunk in _fast_pair_scores;
+                # small catalogs keep the padded layout (the re-pad costs
+                # ~9% throughput, measured 43.3M vs 47.7M at 65k items).
+                self._attn_packed = (h['d'] < h['dp']
+                                     and padded_bytes > self._PACK_BYTES)
+                build = partial(compute_item_side_attention, h,
+                                with_gram=with_gram)
+                if self._attn_packed:
+                    self._item_fast = self._build_item_fast(
+                        lambda feats: pack_attention_tables(h, build(feats)))
+                else:
+                    self._item_fast = self._build_item_fast(build)
         if self._item_fast is not None and mesh is not None:
             self._item_fast = tuple(
                 jax.device_put(a, item_table_sharding(mesh))
@@ -350,6 +382,7 @@ class CatalogScorer:
         """
         from ..ops.attention_scorer import (
             pallas_attention_scores,
+            unpack_attention_chunk,
             xla_attention_scores,
         )
         from ..ops.pairwise_mlp import (
@@ -360,6 +393,8 @@ class CatalogScorer:
         )
         fusion = self._head['fusion']
         TB, TC = self.tile_users, self.tile_items
+        if fusion == 'attention' and self._attn_packed:
+            chunk = unpack_attention_chunk(self._head, chunk)
         if self._use_pallas:
             if fusion == 'gated':
                 return pallas_pairwise_scores_gated(

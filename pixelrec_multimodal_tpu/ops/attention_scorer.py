@@ -259,6 +259,51 @@ def compute_user_side_attention(head: dict, user_emb: jnp.ndarray
             _pad_lanes(vo, dp).reshape(B, H * dp), suu8, u_sc)
 
 
+def pack_attention_tables(head: dict, item_side: Tuple[jnp.ndarray, ...]
+                          ) -> Tuple[jnp.ndarray, ...]:
+    """Strip dead lane padding from the HBM-resident item tables.
+
+    The kernels consume dp-lane-padded vectors, but at d=64 (the flagship
+    embedding dim) half of every padded table is zeros — ~14KB/item of
+    wasted HBM residency and scan bandwidth at the H=4, Mi=5 geometry.
+    The scorer stores tables PACKED (d lanes) and re-pads one chunk at a
+    time inside the compiled scan (unpack_attention_chunk): the padded
+    form is then a per-chunk transient, not a catalog-sized resident.
+    No-op when d is already lane-aligned.
+    """
+    d, dp = head['d'], head['dp']
+    if d == dp:
+        return item_side
+    Mi, H = head['n_item_mods'], head['H']
+
+    def strip(a, n):
+        C = a.shape[0]
+        return a.reshape(C, n, dp)[..., :d].reshape(C, n * d)
+
+    return (strip(item_side[0], Mi), strip(item_side[1], Mi),
+            strip(item_side[2], Mi), strip(item_side[3], Mi * H),
+            item_side[4], strip(item_side[5], Mi * H),
+            item_side[6]) + tuple(item_side[7:])
+
+
+def unpack_attention_chunk(head: dict, chunk: Tuple[jnp.ndarray, ...]
+                           ) -> Tuple[jnp.ndarray, ...]:
+    """Re-pad one packed chunk to the kernels' dp-lane layout (inverse of
+    pack_attention_tables; runs inside the jitted scan body)."""
+    d, dp = head['d'], head['dp']
+    if d == dp:
+        return chunk
+    Mi, H = head['n_item_mods'], head['H']
+
+    def pad(a, n):
+        C = a.shape[0]
+        return _pad_lanes(a.reshape(C, n, d), dp).reshape(C, n * dp)
+
+    return (pad(chunk[0], Mi), pad(chunk[1], Mi), pad(chunk[2], Mi),
+            pad(chunk[3], Mi * H), chunk[4], pad(chunk[5], Mi * H),
+            chunk[6]) + tuple(chunk[7:])
+
+
 # --------------------------------------------------------------- XLA fallback
 def xla_attention_scores(head: dict, user_side: Tuple[jnp.ndarray, ...],
                          item_side: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
@@ -564,17 +609,15 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         [u_raw] + [u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
                    for h in range(H)], axis=0)          # [(1+H)*TB, dp]
 
-    def gram_matmul(a, b):
-        # LN statistics are precision-sensitive: at the MXU's default
-        # (bf16-multiply) precision the cross-Grams carry ~1e-3 relative
-        # error that surfaces as 1e-3 score divergence vs the stream
-        # kernel (measured on v5e). Full-f32 passes on these tiny
-        # [(1+H)*TB, dp] matmuls are noise next to the VPU work.
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)
-
-    GPs = [gram_matmul(Ug, gs_vec(i)) for i in range(n_i)]
+    # Cross-gram precision: the MXU's default single-pass bf16 multiply
+    # puts ~1e-3 relative error on these Grams -> ~5e-4 on the fused
+    # vector, BELOW the bf16 MLP's own quantization floor (~4e-3), so
+    # default precision is accuracy-neutral end-to-end (hardware
+    # three-way check: gram matches the generic scorer as closely as
+    # the stream kernel). HIGHEST measured 10% slower (51.0M vs 56.6M
+    # kernel-only); Mosaic rejects HIGH (bf16x3) in-kernel. The
+    # once-per-catalog table Grams DO run at HIGHEST (free there).
+    GPs = [nt_matmul(Ug, gs_vec(i)) for i in range(n_i)]
 
     def gp(uvec, ivec):  # [TB, TC] cross-Gram plane
         return jax.lax.slice(GPs[ivec], (uvec * TB, 0),

@@ -255,6 +255,28 @@ class TestChunkedTowerBuild:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize('variant', ['stream', 'gram'])
+    def test_packed_attention_tables_match_padded(self, monkeypatch,
+                                                  variant):
+        """Lane-packed storage (auto above _PACK_BYTES; forced here) must
+        score identically to the padded layout — packing only strips
+        zero lanes and the chunk re-pad restores them."""
+        model, variables, store = _setup('attention')
+        padded = CatalogScorer(model, variables, store, item_chunk=64,
+                               user_chunk=8, attention_variant=variant)
+        assert not padded._attn_packed
+        monkeypatch.setattr(CatalogScorer, '_PACK_BYTES', 0)
+        packed = CatalogScorer(model, variables, store, item_chunk=64,
+                               user_chunk=8, attention_variant=variant)
+        assert packed._attn_packed
+        assert (packed._item_fast[0].shape[1]
+                < padded._item_fast[0].shape[1])
+        users = np.asarray([0, 5, 9], np.int32)
+        v0, i0 = padded.top_k(users, 7)
+        v1, i1 = packed.top_k(users, 7)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-7)
+
 
 class TestScorerGeometry:
     """Tile/user-block selection logic added with the fused fusion paths."""
