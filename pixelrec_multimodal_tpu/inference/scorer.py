@@ -64,7 +64,8 @@ class CatalogScorer:
                  mesh=None, fast_path: bool = True,
                  tile_users: Optional[int] = None,
                  tile_items: Optional[int] = None,
-                 attention_variant: Optional[str] = None):
+                 attention_variant: Optional[str] = None,
+                 precision: str = 'bf16'):
         self.model = model
         self.variables = variables
         self.store = feature_store
@@ -200,6 +201,35 @@ class CatalogScorer:
             self._item_fast = tuple(
                 jax.device_put(a, item_table_sharding(mesh))
                 for a in self._item_fast)
+        # Opt-in int8 scoring: quantize the hidden Dense chain (affine
+        # activation ranges calibrated on a real pair sample, symmetric
+        # per-column weights, int32 MXU accumulation). The v5e int8 MXU
+        # runs at ~2x bf16, and concat's fused head is MXU-bound — scores
+        # become approximate (top-K agreement measured in BASELINE.md),
+        # so this NEVER defaults on.
+        if precision == 'int8':
+            if self._head is None or model.fusion_type != 'concatenate':
+                raise ValueError(
+                    "precision='int8' requires the fused concatenate head "
+                    f"(fusion_type={model.fusion_type!r}, fast_path head "
+                    f"{'missing' if self._head is None else 'present'})")
+            from ..ops.pairwise_mlp import (
+                calibrate_head_ranges,
+                compute_user_first,
+                quantize_mlp_chain,
+            )
+            n_cal_u, n_cal_i = 256, min(4096, self.n_items)
+            cal_users = jnp.arange(n_cal_u, dtype=jnp.int32) % model.n_users
+            ue = self.model.apply(self.variables, cal_users,
+                                  method='user_tower')
+            uf = compute_user_first(self._head, ue)
+            ranges = calibrate_head_ranges(
+                self._head, uf, self._item_fast[0][:n_cal_i])
+            self._head['qlayers'] = quantize_mlp_chain(self._head, ranges)
+        elif precision not in ('bf16', 'int8'):
+            raise ValueError(f"precision must be 'bf16' or 'int8', "
+                             f"got {precision!r}")
+        self.precision = precision
         self._use_pallas = jax.default_backend() == 'tpu'
         if self._head is None and model.fusion_type == 'attention':
             # Generic attention scoring materializes [B*C, H, T, T]

@@ -158,11 +158,20 @@ def build_factorized_head(variables: dict, model) -> Optional[dict]:
         head['w_item'] = jnp.asarray(
             pad2(w_item, _round_up(w_item.shape[0], LANE),
                  h1)[:w_item.shape[0]])
+        # b1 folds into the per-item first-layer table (compute_item_first),
+        # saving one [TB, TC, h1] VPU add per pair in the kernel — the
+        # assembly adds are the binding term at the flagship geometry
+        # (~2.5K VPU element-ops/pair vs the 484M-pairs/s MXU bound).
+        head['b1_folded'] = True
         return head
 
     # gated: W1 applies to the D-dim fused vector; the gating Dense splits
     # into user rows + per-item-modality rows (models/layers.py:86-96, fusion
-    # order user first — multimodal.py:228-239).
+    # order user first — multimodal.py:228-239). b1 folds into EVERY
+    # precomputed first-layer part (softmax gates sum to 1, so
+    # sum_m g_m*(part_m + b1) == fused@W1 + b1), dropping the per-pair
+    # bias add from the kernel's VPU-bound assembly loop.
+    head['b1_folded'] = True
     gating = params['fusion_layer']['gating']
     wg = np.asarray(gating['kernel'], np.float32)   # [M*d, M]
     bg = np.asarray(gating['bias'], np.float32)     # [M]
@@ -186,13 +195,124 @@ def _apply_final(x, final_activation: str):
     return x
 
 
-def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
-                        item_first: jnp.ndarray) -> jnp.ndarray:
-    """Reference implementation: [B,h1] x [C,h1] -> [B,C] scores."""
+# --------------------------------------------------------------- int8 head
+# The v5e MXU runs int8 x int8 -> int32 at ~2x its bf16 rate, and the fused
+# concat scorer is MXU-bound (440.8M pairs/s = 144 TFLOPS bf16 ~ the
+# measured peak). Quantizing the hidden Dense chain lifts that ceiling:
+# activations get per-layer AFFINE int8 quantization (calibrated [mn, mx]
+# range; the zero-point correction folds into the bias since
+# x ~ (xq + 128)*a + mn  =>  x@W = a*(xq@Wq)*wscale + [128*a*wscale*colsum(Wq)
+# + mn*colsum(W) + b], all per-column constants), weights get symmetric
+# per-column scales. Opt-in via CatalogScorer(precision='int8'); scores are
+# approximate (documented top-K agreement in BASELINE.md), never a default.
+
+def quantize_mlp_chain(head: dict, ranges: Sequence[Tuple[float, float]]
+                       ) -> List[dict]:
+    """Quantize the hidden layers of a packed head to int8.
+
+    ranges: calibrated (min, max) of each hidden layer's INPUT activations
+    (from calibrate_head_ranges). Returns one dict per hidden matmul:
+    wq int8 [in, out], and a packed f32 param block [3, out]:
+      row 0 = out_scale (a * wscale, per column)
+      row 1 = bias_eff  (bias + zero-point and offset corrections)
+      row 2 = [inv_a, off, 0, ...] scalars for the in-kernel quantize
+              (xq = floor(x*inv_a + off + 0.5) - 128).
+    """
+    qlayers: List[dict] = []
+    n_hidden = len(head['layers']) - 1
+    for j in range(n_hidden):
+        w, b = head['layers'][j]
+        w = np.asarray(w, np.float32)
+        b = np.asarray(b, np.float32)
+        mn, mx = (float(ranges[j][0]), float(ranges[j][1]))
+        a = max(mx - mn, 1e-12) / 255.0
+        wscale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        wq = np.clip(np.round(w / wscale[None, :]), -127, 127)
+        out_scale = (a * wscale).astype(np.float32)
+        bias_eff = (b + out_scale * 128.0 * wq.sum(axis=0)
+                    + mn * w.sum(axis=0)).astype(np.float32)
+        params = np.zeros((3, w.shape[1]), np.float32)
+        params[0] = out_scale
+        params[1] = bias_eff
+        params[2, 0] = 1.0 / a
+        params[2, 1] = -mn / a
+        qlayers.append({'wq': jnp.asarray(wq.astype(np.int8)),
+                        'params': jnp.asarray(params)})
+    return qlayers
+
+
+def calibrate_head_ranges(head: dict, user_first: jnp.ndarray,
+                          item_first: jnp.ndarray
+                          ) -> List[Tuple[float, float]]:
+    """Per-hidden-layer input-activation (min, max) over a calibration
+    sample of pairs, through the exact f32 chain the kernel runs."""
     act = activation_fn(head['activation'])
     B, C = user_first.shape[0], item_first.shape[0]
-    h = act(user_first[:, None, :] + item_first[None, :, :] + head['b1'])
-    x = h.reshape(B * C, -1)
+
+    @jax.jit
+    def ranges(uf, itf):
+        x = uf[:, None, :] + itf[None, :, :]
+        if not head.get('b1_folded'):
+            x = x + head['b1']
+        x = act(x).reshape(B * C, -1)
+        out = []
+        for j in range(len(head['layers']) - 1):
+            out.append((jnp.min(x), jnp.max(x)))
+            w, b = head['layers'][j]
+            x = act(x @ w + b)
+        return out
+
+    return [(float(mn), float(mx))
+            for mn, mx in ranges(user_first, item_first)]
+
+
+def _quantize_rows(x, inv_a, off):
+    """f32 [rows, w] -> affine int8 (zero point -128)."""
+    q = jnp.floor(x * inv_a + (off + 0.5)) - 128.0
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+def _mlp_chain_int8(x, q_refs, w_last_col, b_last0, n_hidden, act,
+                    final_activation):
+    """int8 hidden Dense chain + f32 final VPU reduce on a [rows, h1]
+    block. q_refs alternates (wq_ref, params_ref) per hidden layer."""
+    for j in range(n_hidden):
+        wq = q_refs[2 * j][:]
+        params = q_refs[2 * j + 1][:]
+        inv_a = params[2, 0]
+        off = params[2, 1]
+        xq = _quantize_rows(x.astype(jnp.float32), inv_a, off)
+        acc = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
+        x = act(acc.astype(jnp.float32) * params[0][None, :]
+                + params[1][None, :])
+    s = jnp.sum(x * w_last_col, axis=1) + b_last0
+    return _apply_final(s, final_activation)
+
+
+def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
+                        item_first: jnp.ndarray) -> jnp.ndarray:
+    """Reference implementation: [B,h1] x [C,h1] -> [B,C] scores.
+
+    Honors head['qlayers'] (int8 mode) with math identical to the Pallas
+    kernel's, so kernel-vs-fallback tests cover the quantized path too.
+    """
+    act = activation_fn(head['activation'])
+    B, C = user_first.shape[0], item_first.shape[0]
+    h = user_first[:, None, :] + item_first[None, :, :]
+    if not head.get('b1_folded'):
+        h = h + head['b1']
+    x = act(h).reshape(B * C, -1)
+    qlayers = head.get('qlayers')
+    if qlayers is not None:
+        q_refs = []
+        for q in qlayers:
+            q_refs.extend([q['wq'], q['params']])
+        w_last, b_last = head['layers'][-1]
+        scores = _mlp_chain_int8(
+            x, q_refs, w_last[:, 0].astype(jnp.float32),
+            b_last[0].astype(jnp.float32), len(qlayers), act,
+            head['final_activation'])
+        return scores.reshape(B, C)
     for i, (w, b) in enumerate(head['layers']):
         x = x @ w + b
         if i < len(head['layers']) - 1:
@@ -221,28 +341,41 @@ def _mlp_chain(x, layer_refs, n_layers, act, final_activation, compute_dtype):
 
 def _pairwise_kernel(user_ref, item_ref, b1_ref, *layer_refs,
                      out_ref, n_layers, activation, final_activation,
-                     compute_dtype):
+                     compute_dtype, n_quant=0, b1_folded=False):
     """Pallas kernel: one (user-tile, item-tile) block of the score matrix.
 
     All intermediates live in VMEM; matmuls hit the MXU back-to-back.
+    n_quant > 0 routes the hidden chain through int8 MXU dots
+    (layer_refs = n_quant x (wq, params) then the f32 final layer).
+    b1_folded: the first-layer bias lives in the item table — the
+    assembly is one broadcast add + act (the kernel's VPU-binding term).
     """
     act = activation_fn(activation)
     u = user_ref[:].astype(compute_dtype)      # [TB, h1]
     it = item_ref[:].astype(compute_dtype)     # [TC, h1]
-    b1 = b1_ref[:].astype(compute_dtype)       # [h1]
     TB, TC = u.shape[0], it.shape[0]
 
-    x = act(u[:, None, :] + it[None, :, :] + b1[None, None, :])
-    x = x.reshape(TB * TC, -1)
-    scores = _mlp_chain(x, layer_refs, n_layers, act, final_activation,
-                        compute_dtype)
+    x = u[:, None, :] + it[None, :, :]
+    if not b1_folded:
+        x = x + b1_ref[:].astype(compute_dtype)[None, None, :]
+    x = act(x).reshape(TB * TC, -1)
+    if n_quant:
+        w_last = layer_refs[2 * n_quant][:]
+        b_last = layer_refs[2 * n_quant + 1][:]
+        scores = _mlp_chain_int8(
+            x, layer_refs, w_last[:, 0].astype(jnp.float32),
+            b_last[0].astype(jnp.float32), n_quant, act, final_activation)
+    else:
+        scores = _mlp_chain(x, layer_refs, n_layers, act, final_activation,
+                            compute_dtype)
     out_ref[:] = scores.reshape(TB, TC)
 
 
 def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
                            item_gatesT_ref, b1_ref, *layer_refs,
                            out_ref, x_scr, n_layers, n_item_mods, h1,
-                           activation, final_activation, compute_dtype):
+                           activation, final_activation, compute_dtype,
+                           b1_folded=False):
     """Gated-fusion pair scoring: softmax gates from pairwise-added logit
     planes, weighted sum of precomputed first-layer parts, then the Dense
     chain.
@@ -298,9 +431,10 @@ def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
         for m in range(n_item_mods):
             off = m * h1 + lo
             acc = acc + gate(m + 1) * itf[:, off:off + LANE][None, :, :]
+        if not b1_folded:
+            acc = acc + b1[lo:lo + LANE][None, None, :]
         x_scr[:, lo:lo + LANE] = act(
-            acc + b1[lo:lo + LANE][None, None, :]
-        ).astype(compute_dtype).reshape(TB * TC, LANE)
+            acc).astype(compute_dtype).reshape(TB * TC, LANE)
     scores = _mlp_chain(x_scr[:], layer_refs, n_layers, act,
                         final_activation, compute_dtype)
     out_ref[:] = scores.reshape(TB, TC)
@@ -324,16 +458,32 @@ def pallas_pairwise_scores(head: dict, user_first: jnp.ndarray,
 
     layer_specs = []
     layer_args = []
-    for w, b in head['layers']:
+    qlayers = head.get('qlayers')
+    if qlayers is not None:
+        # int8 chain: (wq, params) per hidden layer, then the f32 final.
+        for q in qlayers:
+            layer_specs.append(
+                pl.BlockSpec(q['wq'].shape, lambda i, j: (0, 0)))
+            layer_specs.append(
+                pl.BlockSpec(q['params'].shape, lambda i, j: (0, 0)))
+            layer_args.extend([q['wq'], q['params']])
+        w, b = head['layers'][-1]
         layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
         layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
         layer_args.extend([w, b])
+    else:
+        for w, b in head['layers']:
+            layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+            layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+            layer_args.extend([w, b])
 
     kernel = functools.partial(
         _pairwise_kernel, n_layers=n_layers,
         activation=head['activation'],
         final_activation=head['final_activation'],
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        n_quant=len(qlayers) if qlayers is not None else 0,
+        b1_folded=bool(head.get('b1_folded')))
 
     def wrapped(user_ref, item_ref, b1_ref, *rest):
         *layer_refs, out_ref = rest
@@ -369,7 +519,9 @@ def xla_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
     x = g[:, :, 0, None] * user_first[:, None, :]
     for m in range(head['n_item_mods']):
         x = x + g[:, :, m + 1, None] * item_first[None, :, m * h1:(m + 1) * h1]
-    x = act(x + head['b1']).reshape(B * C, h1)
+    if not head.get('b1_folded'):
+        x = x + head['b1']
+    x = act(x).reshape(B * C, h1)
     for i, (w, b) in enumerate(head['layers']):
         x = x @ w + b
         if i < len(head['layers']) - 1:
@@ -412,7 +564,8 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
         n_item_mods=head['n_item_mods'], h1=head['h1'],
         activation=head['activation'],
         final_activation=head['final_activation'],
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        b1_folded=bool(head.get('b1_folded')))
 
     def wrapped(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *rest):
         *layer_refs, out_ref, x_scr = rest
@@ -446,8 +599,9 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
 
 def compute_item_first(head: dict, item_flat: jnp.ndarray) -> jnp.ndarray:
     """Per-item first-layer part, computed once per catalog:
-    item_flat [N, D_item] @ W_item -> [N, h1] (bias folded at pair time)."""
-    return item_flat.astype(jnp.float32) @ head['w_item']
+    item_flat [N, D_item] @ W_item + b1 (the bias folds in here so the
+    pair kernel's assembly is one add + act instead of two adds + act)."""
+    return item_flat.astype(jnp.float32) @ head['w_item'] + head['b1']
 
 
 def compute_user_first(head: dict, user_emb: jnp.ndarray) -> jnp.ndarray:
@@ -474,6 +628,7 @@ def compute_item_side_gated(head: dict, item_feats: jnp.ndarray
     """
     f32 = item_feats.astype(jnp.float32)
     first = jnp.einsum('nmd,dh->nmh', f32, head['w_fused'])
+    first = first + head['b1'][None, None, :]  # b1_folded (softmax sums to 1)
     n = first.shape[0]
     gates = jnp.einsum('nmd,mdg->ng', f32, head['wg_item']) + head['bg']
     return first.reshape(n, -1), _pad_gates(gates)
@@ -482,6 +637,7 @@ def compute_item_side_gated(head: dict, item_feats: jnp.ndarray
 def compute_user_side_gated(head: dict, user_emb: jnp.ndarray
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-user precompute for gated fusion: (user_first [B, h1],
-    user_gates [B, GATE_PAD])."""
+    user_gates [B, GATE_PAD]). b1 folds in (b1_folded)."""
     f32 = user_emb.astype(jnp.float32)
-    return f32 @ head['w_fused'], _pad_gates(f32 @ head['wg_user'])
+    return (f32 @ head['w_fused'] + head['b1'],
+            _pad_gates(f32 @ head['wg_user']))

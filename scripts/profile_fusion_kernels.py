@@ -92,7 +92,7 @@ def main():
             'b1': jnp.zeros(H1, jnp.float32), 'h1': H1}
     pairs = B * C
 
-    if which in ('concat', 'all'):
+    if which in ('concat', 'concat_variants', 'all'):
         uf = jnp.asarray(rng.standard_normal((B, H1)), jnp.float32)
         itf = jnp.asarray(rng.standard_normal((C, H1)), jnp.float32)
         kw = {}
@@ -104,6 +104,31 @@ def main():
             return jnp.sum(pallas_pairwise_scores(base, uf, itf, **kw))
 
         timed('concat', lambda: run_concat(uf, itf), pairs)
+
+    if which in ('concat_variants', 'all'):
+        # (a) b1 folded into the item table: one fewer [TB,TC,h1] VPU add
+        # per pair in the assembly (the kernel's VPU-binding term).
+        fold = dict(base, b1_folded=True)
+
+        @jax.jit
+        def run_fold(uf, itf):
+            return jnp.sum(pallas_pairwise_scores(fold, uf, itf, **kw))
+
+        timed('concat_b1fold', lambda: run_fold(uf, itf), pairs)
+
+        # (b) int8 hidden chain (2x MXU rate, + quantize VPU cost).
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            calibrate_head_ranges,
+            quantize_mlp_chain,
+        )
+        ranges = calibrate_head_ranges(fold, uf[:64], itf[:512])
+        q = dict(fold, qlayers=quantize_mlp_chain(fold, ranges))
+
+        @jax.jit
+        def run_q(uf, itf):
+            return jnp.sum(pallas_pairwise_scores(q, uf, itf, **kw))
+
+        timed('concat_int8', lambda: run_q(uf, itf), pairs)
 
     if which in ('gated', 'all'):
         head = dict(base, n_item_mods=MI)

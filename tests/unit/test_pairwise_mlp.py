@@ -226,6 +226,86 @@ class TestPallasKernel:
                                    rtol=1e-5, atol=1e-6)
 
 
+class TestInt8Head:
+    def _quantized_head(self, model=None, seed=6, B=16, C=128):
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            calibrate_head_ranges,
+            quantize_mlp_chain,
+        )
+        model = model or make_model()
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        rng = np.random.default_rng(seed)
+        h1 = head['b1'].shape[0]
+        user_first = jnp.asarray(rng.standard_normal((B, h1)), jnp.float32)
+        item_first = jnp.asarray(rng.standard_normal((C, h1)), jnp.float32)
+        ranges = calibrate_head_ranges(head, user_first, item_first)
+        qhead = dict(head)
+        qhead['qlayers'] = quantize_mlp_chain(head, ranges)
+        return head, qhead, user_first, item_first
+
+    def test_int8_close_to_f32(self):
+        """Quantized scores track the f32 chain within the int8 error
+        budget (sigmoid outputs, calibrated ranges)."""
+        head, qhead, user_first, item_first = self._quantized_head()
+        ref = np.asarray(xla_pairwise_scores(head, user_first, item_first))
+        q = np.asarray(xla_pairwise_scores(qhead, user_first, item_first))
+        assert np.max(np.abs(q - ref)) < 0.05
+        # Ranking is what matters: per-user top-5 sets mostly agree.
+        top_r = np.argsort(-ref, axis=1)[:, :5]
+        top_q = np.argsort(-q, axis=1)[:, :5]
+        agree = np.mean([len(set(a) & set(b)) / 5
+                         for a, b in zip(top_r, top_q)])
+        assert agree >= 0.8
+
+    @pytest.mark.parametrize('final', ['sigmoid', 'none'])
+    def test_pallas_interpret_matches_xla(self, final):
+        """The int8 kernel branch (interpret mode) == the XLA int8 math."""
+        model = make_model(final_activation=final)
+        _, qhead, user_first, item_first = self._quantized_head(model)
+        ref = xla_pairwise_scores(qhead, user_first, item_first)
+        out = pallas_pairwise_scores(qhead, user_first, item_first,
+                                     tile_users=16, tile_items=128,
+                                     compute_dtype=jnp.float32,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_scorer_precision_int8(self):
+        """CatalogScorer(precision='int8'): scores close to bf16's, the
+        unsupported-fusion case raises."""
+        from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        model = make_model()
+        variables = init_variables(model)
+        rng = np.random.default_rng(7)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS) % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+
+        exact = CatalogScorer(model, variables, store, item_chunk=128,
+                              user_chunk=8)
+        q = CatalogScorer(model, variables, store, item_chunk=128,
+                          user_chunk=8, precision='int8')
+        assert q._head.get('qlayers') is not None
+
+        users = np.arange(4, dtype=np.int32)
+        np.testing.assert_allclose(q.score_full(users),
+                                   exact.score_full(users), atol=0.05)
+
+        gated = make_model(fusion_type='gated')
+        gvars = init_variables(gated)
+        with pytest.raises(ValueError, match='int8'):
+            CatalogScorer(gated, gvars, store, item_chunk=128,
+                          user_chunk=8, precision='int8')
+
+
 class TestScorerFastPathIntegration:
     @pytest.mark.parametrize('fusion', ['concatenate', 'gated'])
     def test_topk_fast_matches_generic(self, fusion):
