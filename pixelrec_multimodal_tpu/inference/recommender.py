@@ -24,12 +24,13 @@ class Recommender:
     def __init__(self, model, variables: Dict, dataset,
                  item_chunk: Optional[int] = None,
                  user_chunk: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, precision: str = 'bf16'):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,
                                     item_chunk=item_chunk,
-                                    user_chunk=user_chunk, mesh=mesh)
+                                    user_chunk=user_chunk, mesh=mesh,
+                                    precision=precision)
         self._user_classes = set(
             map(str, getattr(dataset.user_encoder, 'classes_', [])))
         self._item_classes = set(

@@ -685,13 +685,34 @@ class CatalogScorer:
             cands = candidate_idx[s:s + chunk]
             cands_p = np.concatenate(
                 [cands, np.zeros((chunk - B,) + cands.shape[1:], np.int32)])
-            v = np.asarray(self._score_candidates(
-                self.variables, self._item_feats, jnp.asarray(users_p),
-                jnp.asarray(cands_p)))[:B]
+            if self.precision == 'int8':
+                # Quantized candidate path: gather precomputed first-layer
+                # rows (b1 folded in) and run the same int8 chain the
+                # full-catalog kernel uses, so --precision int8 applies to
+                # sampled-negative evaluation too, not just top-K.
+                v = np.asarray(self._score_candidates_int8(
+                    self.variables, self._item_fast[0],
+                    jnp.asarray(users_p), jnp.asarray(cands_p)))[:B]
+            else:
+                v = np.asarray(self._score_candidates(
+                    self.variables, self._item_feats, jnp.asarray(users_p),
+                    jnp.asarray(cands_p)))[:B]
             if candidate_mask is not None:
                 v = np.where(candidate_mask[s:s + chunk], v, float(NEG_INF))
             out.append(v)
         return np.concatenate(out)
+
+    @partial(jax.jit, static_argnums=0)
+    def _score_candidates_int8(self, variables, item_first: jnp.ndarray,
+                               user_idx: jnp.ndarray,
+                               cand_idx: jnp.ndarray) -> jnp.ndarray:
+        """[B] users x [B, C] candidate ids -> [B, C] int8-chain scores."""
+        from ..ops.pairwise_mlp import compute_user_first, \
+            xla_candidate_scores
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        uf = compute_user_first(self._head, user_emb)
+        rows = jnp.take(item_first, cand_idx, axis=0)      # [B, C, h1]
+        return xla_candidate_scores(self._head, uf, rows)
 
     @partial(jax.jit, static_argnums=0)
     def _score_full_fast(self, variables, item_fast: Tuple[jnp.ndarray, ...],

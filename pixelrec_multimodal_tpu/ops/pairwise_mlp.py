@@ -289,6 +289,28 @@ def _mlp_chain_int8(x, q_refs, w_last_col, b_last0, n_hidden, act,
     return _apply_final(s, final_activation)
 
 
+def _xla_chain_scores(head: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense chain on assembled first-layer activations [rows, h1] ->
+    [rows] scores, honoring head['qlayers'] (int8 mode) with math
+    identical to the Pallas kernel's."""
+    act = activation_fn(head['activation'])
+    qlayers = head.get('qlayers')
+    if qlayers is not None:
+        q_refs = []
+        for q in qlayers:
+            q_refs.extend([q['wq'], q['params']])
+        w_last, b_last = head['layers'][-1]
+        return _mlp_chain_int8(
+            x, q_refs, w_last[:, 0].astype(jnp.float32),
+            b_last[0].astype(jnp.float32), len(qlayers), act,
+            head['final_activation'])
+    for i, (w, b) in enumerate(head['layers']):
+        x = x @ w + b
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    return _apply_final(x[:, 0], head['final_activation'])
+
+
 def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
                         item_first: jnp.ndarray) -> jnp.ndarray:
     """Reference implementation: [B,h1] x [C,h1] -> [B,C] scores.
@@ -302,23 +324,23 @@ def xla_pairwise_scores(head: dict, user_first: jnp.ndarray,
     if not head.get('b1_folded'):
         h = h + head['b1']
     x = act(h).reshape(B * C, -1)
-    qlayers = head.get('qlayers')
-    if qlayers is not None:
-        q_refs = []
-        for q in qlayers:
-            q_refs.extend([q['wq'], q['params']])
-        w_last, b_last = head['layers'][-1]
-        scores = _mlp_chain_int8(
-            x, q_refs, w_last[:, 0].astype(jnp.float32),
-            b_last[0].astype(jnp.float32), len(qlayers), act,
-            head['final_activation'])
-        return scores.reshape(B, C)
-    for i, (w, b) in enumerate(head['layers']):
-        x = x @ w + b
-        if i < len(head['layers']) - 1:
-            x = act(x)
-    scores = _apply_final(x[:, 0], head['final_activation'])
-    return scores.reshape(B, C)
+    return _xla_chain_scores(head, x).reshape(B, C)
+
+
+def xla_candidate_scores(head: dict, user_first: jnp.ndarray,
+                         item_first_rows: jnp.ndarray) -> jnp.ndarray:
+    """Per-user candidate scoring: [B,h1] x [B,C,h1] -> [B,C].
+
+    Same math as xla_pairwise_scores but each user pairs only with its
+    own gathered candidate rows (the evaluator's sampled-negative path,
+    reference evaluate.py candidate lists)."""
+    act = activation_fn(head['activation'])
+    B, C = item_first_rows.shape[:2]
+    h = user_first[:, None, :] + item_first_rows
+    if not head.get('b1_folded'):
+        h = h + head['b1']
+    x = act(h).reshape(B * C, -1)
+    return _xla_chain_scores(head, x).reshape(B, C)
 
 
 def _mlp_chain(x, layer_refs, n_layers, act, final_activation, compute_dtype):

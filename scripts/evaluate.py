@@ -88,7 +88,8 @@ def find_encoders(config: Config):
 def create_recommender(recommender_type: str, config: Config,
                        dataset: MultimodalDataset,
                        train_data: Optional[pd.DataFrame],
-                       checkpoint_name: str = 'best_model', mesh=None):
+                       checkpoint_name: str = 'best_model', mesh=None,
+                       precision: str = 'bf16'):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
         model = build_model(
@@ -104,7 +105,8 @@ def create_recommender(recommender_type: str, config: Config,
         variables = {'params': state['params']}
         if 'batch_stats' in state:
             variables['batch_stats'] = state['batch_stats']
-        return Recommender(model, variables, dataset, mesh=mesh)
+        return Recommender(model, variables, dataset, mesh=mesh,
+                           precision=precision)
 
     history = train_data if train_data is not None else dataset.interactions
     if recommender_type == 'random':
@@ -164,6 +166,11 @@ def main(cli_args=None):
     parser.add_argument('--model_parallel', type=int, default=1,
                         help='Mesh catalog-axis size: shards the item '
                              'tables and full-catalog top-K over devices')
+    parser.add_argument('--precision', type=str, default='bf16',
+                        choices=['bf16', 'int8'],
+                        help='Scoring precision for the multimodal '
+                             'recommender. int8 quantizes the fused concat '
+                             'head (approximate scores; see BASELINE.md).')
     args = parser.parse_args(cli_args)
 
     if args.device:
@@ -222,7 +229,8 @@ def main(cli_args=None):
 
     recommender = create_recommender(
         args.recommender_type, config, dataset, train_data,
-        checkpoint_name=args.checkpoint_name, mesh=mesh)
+        checkpoint_name=args.checkpoint_name, mesh=mesh,
+        precision=args.precision)
 
     task = get_task_from_string(args.eval_task)
     evaluator = create_evaluator(

@@ -34,7 +34,7 @@ from evaluate import find_encoders, find_model_checkpoint  # noqa: E402
 
 
 def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
-                        mesh=None):
+                        mesh=None, precision: str = 'bf16'):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -79,7 +79,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
     variables = {'params': restored['state']['params']}
     if 'batch_stats' in restored['state']:
         variables['batch_stats'] = restored['state']['batch_stats']
-    return Recommender(model, variables, dataset, mesh=mesh), dataset
+    return (Recommender(model, variables, dataset, mesh=mesh,
+                        precision=precision), dataset)
 
 
 def resolve_users(args, dataset) -> list:
@@ -129,6 +130,11 @@ def main(cli_args=None):
     parser.add_argument('--model_parallel', type=int, default=1,
                         help='Mesh catalog-axis size: shards the item '
                              'tables and full-catalog top-K over devices')
+    parser.add_argument('--precision', type=str, default='bf16',
+                        choices=['bf16', 'int8'],
+                        help='Scoring precision. int8 quantizes the fused '
+                             'concat head (calibrated, ~2x MXU rate); '
+                             'scores are approximate — see BASELINE.md.')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "
@@ -148,7 +154,8 @@ def main(cli_args=None):
 
     config = Config.from_yaml(args.config)
     recommender, dataset = load_model_and_data(config, args.checkpoint_name,
-                                               mesh=mesh)
+                                               mesh=mesh,
+                                               precision=args.precision)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

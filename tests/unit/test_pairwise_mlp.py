@@ -299,6 +299,13 @@ class TestInt8Head:
         np.testing.assert_allclose(q.score_full(users),
                                    exact.score_full(users), atol=0.05)
 
+        # Candidate path (sampled-negative eval) also runs the int8 chain
+        # and tracks the exact scores.
+        cands = rng.integers(0, N_ITEMS, size=(4, 7)).astype(np.int32)
+        np.testing.assert_allclose(
+            q.score_candidates(users, cands),
+            exact.score_candidates(users, cands), atol=0.05)
+
         gated = make_model(fusion_type='gated')
         gvars = init_variables(gated)
         with pytest.raises(ValueError, match='int8'):
