@@ -133,6 +133,29 @@ class TestShardedScorer:
             sharded.score_candidates(users, cands),
             base.score_candidates(users, cands), rtol=1e-5, atol=1e-6)
 
+    def test_sharded_int8_matches_single_device_int8(self, devices):
+        """precision='int8' composes with the catalog-sharded mesh: the
+        quantized fused top-k and the quantized candidate path both match
+        their single-device counterparts exactly (same qlayers, same
+        math; only the sharding differs)."""
+        model, variables, store = _setup()
+        base = CatalogScorer(model, variables, store, item_chunk=64,
+                             user_chunk=8, precision='int8')
+        mesh = make_mesh(model_parallel=2)
+        sharded = CatalogScorer(model, variables, store, item_chunk=64,
+                                user_chunk=8, mesh=mesh, precision='int8')
+        users = np.asarray([0, 3, 7, 11, 19, 30], np.int32)
+        v0, i0 = base.top_k(users, 10)
+        v1, i1 = sharded.top_k(users, 10)
+        np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i1, i0)
+
+        rng = np.random.default_rng(3)
+        cands = rng.integers(0, store.n_items, (6, 9)).astype(np.int32)
+        np.testing.assert_allclose(
+            sharded.score_candidates(users, cands),
+            base.score_candidates(users, cands), rtol=1e-5, atol=1e-6)
+
     def test_score_candidates_comms_scale_with_candidates(self, devices):
         """GSPMD partitions the candidate gather as a masked LOCAL gather +
         one all-reduce of the [B, C, M, D] candidate stack — comms scale
