@@ -216,7 +216,8 @@ def quantize_mlp_chain(head: dict, ranges: Sequence[Tuple[float, float]]
       row 0 = out_scale (a * wscale, per column)
       row 1 = bias_eff  (bias + zero-point and offset corrections)
       row 2 = [inv_a, off, 0, ...] scalars for the in-kernel quantize
-              (xq = floor(x*inv_a + off + 0.5) - 128).
+              (xq = floor(x*inv_a + off), off pre-folding the zero
+              point and round-half-up: -mn/a + 0.5 - 128).
     """
     qlayers: List[dict] = []
     n_hidden = len(head['layers']) - 1
@@ -235,7 +236,7 @@ def quantize_mlp_chain(head: dict, ranges: Sequence[Tuple[float, float]]
         params[0] = out_scale
         params[1] = bias_eff
         params[2, 0] = 1.0 / a
-        params[2, 1] = -mn / a
+        params[2, 1] = -mn / a + 0.5 - 128.0  # zero-point + rounding folded
         qlayers.append({'wq': jnp.asarray(wq.astype(np.int8)),
                         'params': jnp.asarray(params)})
     return qlayers
@@ -267,8 +268,13 @@ def calibrate_head_ranges(head: dict, user_first: jnp.ndarray,
 
 
 def _quantize_rows(x, inv_a, off):
-    """f32 [rows, w] -> affine int8 (zero point -128)."""
-    q = jnp.floor(x * inv_a + (off + 0.5)) - 128.0
+    """f32 [rows, w] -> affine int8 (zero point -128).
+
+    The -128 shift and the round-half-up 0.5 are pre-folded into ``off``
+    (quantize_mlp_chain), so the per-element cost is mul + add + floor +
+    clip + cast — this runs per pair per activation element, the int8
+    path's entire VPU overhead."""
+    q = jnp.floor(x * inv_a + off)
     return jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
