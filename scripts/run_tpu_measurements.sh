@@ -16,3 +16,7 @@ timeout 2400 python scripts/bench_int8.py 2>&1 | tail -20
 echo "=== 4. headline bench (b1-folded default) ==="
 timeout 2400 python bench.py 2>/tmp/bench_headline_err.log | tail -3
 tail -5 /tmp/bench_headline_err.log
+
+echo "=== 5. gated at-scale 1M-item row (last session's failed run) ==="
+timeout 3600 python scripts/bench_scale.py --fusion gated --n_items 1000000 \
+    2>&1 | tail -12
