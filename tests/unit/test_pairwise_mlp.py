@@ -271,6 +271,46 @@ class TestInt8Head:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_flagship_width_fidelity(self):
+        """int8 ranking fidelity at the PRODUCTION head width
+        ([512,256,128], the bench.py geometry): top-50 set agreement over
+        a 64-user x 4096-item block must stay high — the quality bound
+        BASELINE.md's int8 section relies on."""
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            calibrate_head_ranges,
+            quantize_mlp_chain,
+        )
+        rng = np.random.default_rng(11)
+        h1 = 512
+        layers = []
+        prev = h1
+        for width in (256, 128):
+            layers.append((jnp.asarray(
+                rng.standard_normal((prev, width)), jnp.float32) * 0.05,
+                jnp.asarray(rng.standard_normal(width), jnp.float32) * 0.05))
+            prev = width
+        w_last = np.zeros((prev, 128), np.float32)
+        w_last[:, 0] = rng.standard_normal(prev) * 0.05
+        layers.append((jnp.asarray(w_last), jnp.zeros(128, jnp.float32)))
+        head = {'layers': layers, 'activation': 'relu',
+                'final_activation': 'sigmoid',
+                'b1': jnp.zeros(h1, jnp.float32), 'b1_folded': True}
+        B, C = 64, 4096
+        uf = jnp.asarray(rng.standard_normal((B, h1)), jnp.float32) * 0.5
+        itf = jnp.asarray(rng.standard_normal((C, h1)), jnp.float32) * 0.5
+        ranges = calibrate_head_ranges(head, uf[:16], itf[:512])
+        qhead = dict(head, qlayers=quantize_mlp_chain(head, ranges))
+
+        ref = np.asarray(xla_pairwise_scores(head, uf, itf))
+        q = np.asarray(xla_pairwise_scores(qhead, uf, itf))
+        k = 50
+        top_r = np.argsort(-ref, axis=1)[:, :k]
+        top_q = np.argsort(-q, axis=1)[:, :k]
+        agree = np.mean([len(set(a) & set(b)) / k
+                         for a, b in zip(top_r, top_q)])
+        assert agree >= 0.9, agree
+        assert np.max(np.abs(q - ref)) < 0.05
+
     def test_scorer_precision_int8(self):
         """CatalogScorer(precision='int8'): scores close to bf16's, the
         unsupported-fusion case raises."""
