@@ -204,29 +204,42 @@ class CatalogScorer:
         # Opt-in int8 scoring: quantize the hidden Dense chain (affine
         # activation ranges calibrated on a real pair sample, symmetric
         # per-column weights, int32 MXU accumulation). The v5e int8 MXU
-        # runs at ~2x bf16, and concat's fused head is MXU-bound — scores
-        # become approximate (top-K agreement measured in BASELINE.md),
-        # so this NEVER defaults on.
+        # runs at ~2x bf16, and the concat/gated fused heads are
+        # MXU-dominated in their chain — scores become approximate
+        # (top-K agreement measured in BASELINE.md), so this NEVER
+        # defaults on.
         if precision == 'int8':
-            if self._head is None or model.fusion_type != 'concatenate':
+            if self._head is None or model.fusion_type not in (
+                    'concatenate', 'gated'):
                 raise ValueError(
-                    "precision='int8' requires the fused concatenate head "
-                    f"(fusion_type={model.fusion_type!r}, fast_path head "
+                    "precision='int8' requires a fused concatenate or "
+                    f"gated head (fusion_type={model.fusion_type!r}, "
+                    "fast_path head "
                     f"{'missing' if self._head is None else 'present'})")
             from ..ops.pairwise_mlp import (
                 calibrate_head_ranges,
+                calibrate_head_ranges_gated,
                 compute_user_first,
+                compute_user_side_gated,
                 quantize_mlp_chain,
             )
-            n_cal_u, n_cal_i = 256, min(4096, self.n_items)
+            # 64 x 1024 pairs: ample for min/max range calibration while
+            # keeping the assembled [B, C, h1] f32 transient ~134 MB.
+            n_cal_u, n_cal_i = 64, min(1024, self.n_items)
             cal_users = jnp.arange(n_cal_u, dtype=jnp.int32) % model.n_users
             ue = self.model.apply(self.variables, cal_users,
                                   method='user_tower')
-            uf = compute_user_first(self._head, ue)
-            ranges = calibrate_head_ranges(
-                self._head, uf, self._item_fast[0][:n_cal_i])
+            if model.fusion_type == 'gated':
+                user_side = compute_user_side_gated(self._head, ue)
+                ranges = calibrate_head_ranges_gated(
+                    self._head, user_side,
+                    tuple(a[:n_cal_i] for a in self._item_fast))
+            else:
+                uf = compute_user_first(self._head, ue)
+                ranges = calibrate_head_ranges(
+                    self._head, uf, self._item_fast[0][:n_cal_i])
             self._head['qlayers'] = quantize_mlp_chain(self._head, ranges)
-        elif precision not in ('bf16', 'int8'):
+        elif precision != 'bf16':
             raise ValueError(f"precision must be 'bf16' or 'int8', "
                              f"got {precision!r}")
         self.precision = precision
@@ -691,7 +704,7 @@ class CatalogScorer:
                 # full-catalog kernel uses, so --precision int8 applies to
                 # sampled-negative evaluation too, not just top-K.
                 v = np.asarray(self._score_candidates_int8(
-                    self.variables, self._item_fast[0],
+                    self.variables, self._item_fast,
                     jnp.asarray(users_p), jnp.asarray(cands_p)))[:B]
             else:
                 v = np.asarray(self._score_candidates(
@@ -703,15 +716,25 @@ class CatalogScorer:
         return np.concatenate(out)
 
     @partial(jax.jit, static_argnums=0)
-    def _score_candidates_int8(self, variables, item_first: jnp.ndarray,
+    def _score_candidates_int8(self, variables, item_fast,
                                user_idx: jnp.ndarray,
                                cand_idx: jnp.ndarray) -> jnp.ndarray:
         """[B] users x [B, C] candidate ids -> [B, C] int8-chain scores."""
-        from ..ops.pairwise_mlp import compute_user_first, \
-            xla_candidate_scores
+        from ..ops.pairwise_mlp import (
+            compute_user_first,
+            compute_user_side_gated,
+            xla_candidate_scores,
+            xla_candidate_scores_gated,
+        )
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        if self._head['fusion'] == 'gated':
+            user_side = compute_user_side_gated(self._head, user_emb)
+            rows_first = jnp.take(item_fast[0], cand_idx, axis=0)
+            rows_gates = jnp.take(item_fast[1], cand_idx, axis=0)
+            return xla_candidate_scores_gated(
+                self._head, user_side, rows_first, rows_gates)
         uf = compute_user_first(self._head, user_emb)
-        rows = jnp.take(item_first, cand_idx, axis=0)      # [B, C, h1]
+        rows = jnp.take(item_fast[0], cand_idx, axis=0)    # [B, C, h1]
         return xla_candidate_scores(self._head, uf, rows)
 
     @partial(jax.jit, static_argnums=0)

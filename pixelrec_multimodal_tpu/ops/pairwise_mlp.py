@@ -242,6 +242,18 @@ def quantize_mlp_chain(head: dict, ranges: Sequence[Tuple[float, float]]
     return qlayers
 
 
+def _chain_input_ranges(head: dict, x: jnp.ndarray):
+    """Traced (min, max) of each hidden layer's input through the exact
+    f32 chain the kernel runs; x = assembled first-layer activations."""
+    act = activation_fn(head['activation'])
+    out = []
+    for j in range(len(head['layers']) - 1):
+        out.append((jnp.min(x), jnp.max(x)))
+        w, b = head['layers'][j]
+        x = act(x @ w + b)
+    return out
+
+
 def calibrate_head_ranges(head: dict, user_first: jnp.ndarray,
                           item_first: jnp.ndarray
                           ) -> List[Tuple[float, float]]:
@@ -255,16 +267,36 @@ def calibrate_head_ranges(head: dict, user_first: jnp.ndarray,
         x = uf[:, None, :] + itf[None, :, :]
         if not head.get('b1_folded'):
             x = x + head['b1']
-        x = act(x).reshape(B * C, -1)
-        out = []
-        for j in range(len(head['layers']) - 1):
-            out.append((jnp.min(x), jnp.max(x)))
-            w, b = head['layers'][j]
-            x = act(x @ w + b)
-        return out
+        return _chain_input_ranges(head, act(x).reshape(B * C, -1))
 
     return [(float(mn), float(mx))
             for mn, mx in ranges(user_first, item_first)]
+
+
+def calibrate_head_ranges_gated(head: dict, user_side, item_side
+                                ) -> List[Tuple[float, float]]:
+    """Gated-fusion calibration: ranges through the gated assembly
+    (softmax-weighted first-layer parts) + the chain."""
+    act = activation_fn(head['activation'])
+    uf, ug = user_side
+    itf, ig = item_side
+    B, C = uf.shape[0], itf.shape[0]
+    n_mod = head['n_item_mods'] + 1
+    h1 = head['h1']
+
+    @jax.jit
+    def ranges(uf, ug, itf, ig):
+        logits = ug[:, None, :n_mod] + ig[None, :, :n_mod]
+        g = jax.nn.softmax(logits, axis=-1)
+        x = g[:, :, 0, None] * uf[:, None, :]
+        for m in range(head['n_item_mods']):
+            x = x + g[:, :, m + 1, None] * itf[None, :,
+                                               m * h1:(m + 1) * h1]
+        if not head.get('b1_folded'):
+            x = x + head['b1']
+        return _chain_input_ranges(head, act(x).reshape(B * C, h1))
+
+    return [(float(mn), float(mx)) for mn, mx in ranges(uf, ug, itf, ig)]
 
 
 def _quantize_rows(x, inv_a, off):
@@ -403,7 +435,7 @@ def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
                            item_gatesT_ref, b1_ref, *layer_refs,
                            out_ref, x_scr, n_layers, n_item_mods, h1,
                            activation, final_activation, compute_dtype,
-                           b1_folded=False):
+                           b1_folded=False, n_quant=0):
     """Gated-fusion pair scoring: softmax gates from pairwise-added logit
     planes, weighted sum of precomputed first-layer parts, then the Dense
     chain.
@@ -463,8 +495,15 @@ def _gated_pairwise_kernel(user_first_ref, user_gates_ref, item_first_ref,
             acc = acc + b1[lo:lo + LANE][None, None, :]
         x_scr[:, lo:lo + LANE] = act(
             acc).astype(compute_dtype).reshape(TB * TC, LANE)
-    scores = _mlp_chain(x_scr[:], layer_refs, n_layers, act,
-                        final_activation, compute_dtype)
+    if n_quant:
+        w_last = layer_refs[2 * n_quant][:]
+        b_last = layer_refs[2 * n_quant + 1][:]
+        scores = _mlp_chain_int8(
+            x_scr[:], layer_refs, w_last[:, 0].astype(jnp.float32),
+            b_last[0].astype(jnp.float32), n_quant, act, final_activation)
+    else:
+        scores = _mlp_chain(x_scr[:], layer_refs, n_layers, act,
+                            final_activation, compute_dtype)
     out_ref[:] = scores.reshape(TB, TC)
 
 
@@ -550,11 +589,29 @@ def xla_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
     if not head.get('b1_folded'):
         x = x + head['b1']
     x = act(x).reshape(B * C, h1)
-    for i, (w, b) in enumerate(head['layers']):
-        x = x @ w + b
-        if i < len(head['layers']) - 1:
-            x = act(x)
-    return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
+    return _xla_chain_scores(head, x).reshape(B, C)
+
+
+def xla_candidate_scores_gated(head: dict, user_side,
+                               item_first_rows: jnp.ndarray,
+                               item_gates_rows: jnp.ndarray) -> jnp.ndarray:
+    """Gated per-user candidate scoring: each user pairs with its own
+    gathered candidate rows ([B, C, Mi*h1] / [B, C, GATE_PAD])."""
+    act = activation_fn(head['activation'])
+    user_first, user_gates = user_side
+    n_mod = head['n_item_mods'] + 1
+    h1 = head['h1']
+    B, C = item_first_rows.shape[:2]
+    logits = user_gates[:, None, :n_mod] + item_gates_rows[:, :, :n_mod]
+    g = jax.nn.softmax(logits, axis=-1)                     # [B, C, M]
+    x = g[:, :, 0, None] * user_first[:, None, :]
+    for m in range(head['n_item_mods']):
+        x = x + g[:, :, m + 1, None] * item_first_rows[:, :,
+                                                       m * h1:(m + 1) * h1]
+    if not head.get('b1_folded'):
+        x = x + head['b1']
+    x = act(x).reshape(B * C, h1)
+    return _xla_chain_scores(head, x).reshape(B, C)
 
 
 def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
@@ -582,10 +639,23 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
 
     layer_specs = []
     layer_args = []
-    for w, b in head['layers']:
+    qlayers = head.get('qlayers')
+    if qlayers is not None:
+        for q in qlayers:
+            layer_specs.append(
+                pl.BlockSpec(q['wq'].shape, lambda i, j: (0, 0)))
+            layer_specs.append(
+                pl.BlockSpec(q['params'].shape, lambda i, j: (0, 0)))
+            layer_args.extend([q['wq'], q['params']])
+        w, b = head['layers'][-1]
         layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
         layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
         layer_args.extend([w, b])
+    else:
+        for w, b in head['layers']:
+            layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+            layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+            layer_args.extend([w, b])
 
     kernel = functools.partial(
         _gated_pairwise_kernel, n_layers=n_layers,
@@ -593,7 +663,8 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
         activation=head['activation'],
         final_activation=head['final_activation'],
         compute_dtype=compute_dtype,
-        b1_folded=bool(head.get('b1_folded')))
+        b1_folded=bool(head.get('b1_folded')),
+        n_quant=len(qlayers) if qlayers is not None else 0)
 
     def wrapped(uf_ref, ug_ref, if_ref, ig_ref, b1_ref, *rest):
         *layer_refs, out_ref, x_scr = rest

@@ -169,8 +169,9 @@ def main(cli_args=None):
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'int8'],
                         help='Scoring precision for the multimodal '
-                             'recommender. int8 quantizes the fused concat '
-                             'head (approximate scores; see BASELINE.md).')
+                             'recommender. int8 quantizes the fused '
+                             'concat/gated head (approximate scores; '
+                             'see BASELINE.md).')
     args = parser.parse_args(cli_args)
 
     if args.device:

@@ -133,8 +133,8 @@ def main(cli_args=None):
     parser.add_argument('--precision', type=str, default='bf16',
                         choices=['bf16', 'int8'],
                         help='Scoring precision. int8 quantizes the fused '
-                             'concat head (calibrated, ~2x MXU rate); '
-                             'scores are approximate — see BASELINE.md.')
+                             'concat/gated head (calibrated); scores '
+                             'are approximate — see BASELINE.md.')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "

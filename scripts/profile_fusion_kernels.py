@@ -149,6 +149,32 @@ def main():
 
         timed('gated', lambda: run_gated(uf, ug, itf, ig), pairs)
 
+    if which in ('gated_int8', 'all'):
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            calibrate_head_ranges_gated,
+            quantize_mlp_chain,
+        )
+        head = dict(base, n_item_mods=MI, b1_folded=True)
+        uf = jnp.asarray(rng.standard_normal((B, H1)), jnp.float32)
+        ug = jnp.zeros((B, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((B, MI + 1)), jnp.float32))
+        itf = jnp.asarray(rng.standard_normal((C, MI * H1)), jnp.float32)
+        ig = jnp.zeros((C, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((C, MI + 1)), jnp.float32))
+        ranges = calibrate_head_ranges_gated(
+            head, (uf[:64], ug[:64]), (itf[:512], ig[:512]))
+        qhead = dict(head, qlayers=quantize_mlp_chain(head, ranges))
+        kw = {}
+        if tb:
+            kw = {'tile_users': tb, 'tile_items': tc or 128}
+
+        @jax.jit
+        def run_gated_q(uf, ug, itf, ig):
+            return jnp.sum(
+                pallas_pairwise_scores_gated(qhead, uf, ug, itf, ig, **kw))
+
+        timed('gated_int8', lambda: run_gated_q(uf, ug, itf, ig), pairs)
+
     if which in ('attention', 'attention_gram', 'all'):
         from pixelrec_multimodal_tpu.ops.attention_scorer import (
             _gram_layout,

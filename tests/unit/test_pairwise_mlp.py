@@ -346,11 +346,73 @@ class TestInt8Head:
             q.score_candidates(users, cands),
             exact.score_candidates(users, cands), atol=0.05)
 
-        gated = make_model(fusion_type='gated')
-        gvars = init_variables(gated)
+        # Attention has no quantized chain — must raise.
+        attn = make_model(fusion_type='attention')
+        avars = init_variables(attn)
         with pytest.raises(ValueError, match='int8'):
-            CatalogScorer(gated, gvars, store, item_chunk=128,
+            CatalogScorer(attn, avars, store, item_chunk=128,
                           user_chunk=8, precision='int8')
+
+    def test_scorer_precision_int8_gated(self):
+        """Gated fusion quantizes too: full scores and candidate scores
+        track the exact scorer within the int8 budget."""
+        from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        model = make_model(fusion_type='gated')
+        variables = init_variables(model)
+        rng = np.random.default_rng(9)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS) % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+
+        exact = CatalogScorer(model, variables, store, item_chunk=128,
+                              user_chunk=8)
+        q = CatalogScorer(model, variables, store, item_chunk=128,
+                          user_chunk=8, precision='int8')
+        assert q._head.get('qlayers') is not None
+
+        users = np.arange(4, dtype=np.int32)
+        np.testing.assert_allclose(q.score_full(users),
+                                   exact.score_full(users), atol=0.05)
+        cands = rng.integers(0, N_ITEMS, size=(4, 7)).astype(np.int32)
+        np.testing.assert_allclose(
+            q.score_candidates(users, cands),
+            exact.score_candidates(users, cands), atol=0.05)
+
+    @pytest.mark.parametrize('final', ['sigmoid', 'none'])
+    def test_gated_pallas_interpret_matches_xla(self, final):
+        """The gated int8 kernel branch (interpret mode) == the XLA int8
+        math."""
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            calibrate_head_ranges_gated,
+            quantize_mlp_chain,
+        )
+        model = make_model(final_activation=final, fusion_type='gated')
+        variables = init_variables(model)
+        head = build_factorized_head(variables, model)
+        rng = np.random.default_rng(12)
+        h1 = head['h1']
+        B, C = 16, 128
+        uf = jnp.asarray(rng.standard_normal((B, h1)), jnp.float32)
+        ug = jnp.asarray(rng.standard_normal((B, 8)), jnp.float32)
+        itf = jnp.asarray(rng.standard_normal(
+            (C, head['n_item_mods'] * h1)), jnp.float32)
+        ig = jnp.asarray(rng.standard_normal((C, 8)), jnp.float32)
+        ranges = calibrate_head_ranges_gated(head, (uf, ug), (itf, ig))
+        qhead = dict(head, qlayers=quantize_mlp_chain(head, ranges))
+        ref = xla_pairwise_scores_gated(qhead, uf, ug, itf, ig)
+        out = pallas_pairwise_scores_gated(qhead, uf, ug, itf, ig,
+                                           tile_users=16, tile_items=128,
+                                           compute_dtype=jnp.float32,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestScorerFastPathIntegration:

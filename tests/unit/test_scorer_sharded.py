@@ -133,12 +133,14 @@ class TestShardedScorer:
             sharded.score_candidates(users, cands),
             base.score_candidates(users, cands), rtol=1e-5, atol=1e-6)
 
-    def test_sharded_int8_matches_single_device_int8(self, devices):
+    @pytest.mark.parametrize('fusion_type', ['concatenate', 'gated'])
+    def test_sharded_int8_matches_single_device_int8(self, devices,
+                                                     fusion_type):
         """precision='int8' composes with the catalog-sharded mesh: the
         quantized fused top-k and the quantized candidate path both match
         their single-device counterparts exactly (same qlayers, same
         math; only the sharding differs)."""
-        model, variables, store = _setup()
+        model, variables, store = _setup(fusion_type)
         base = CatalogScorer(model, variables, store, item_chunk=64,
                              user_chunk=8, precision='int8')
         mesh = make_mesh(model_parallel=2)
