@@ -10,6 +10,9 @@ timeout 1200 python scripts/profile_int8_mxu.py 2>&1 | tail -20
 echo "=== 2. concat kernel variants (base / b1fold / int8) ==="
 timeout 1800 python scripts/profile_fusion_kernels.py concat_variants 2>&1 | tail -20
 
+echo "=== 2b. gated int8 kernel ==="
+timeout 1800 python scripts/profile_fusion_kernels.py gated_int8 2>&1 | tail -8
+
 echo "=== 3. e2e int8 vs bf16 flagship ==="
 timeout 2400 python scripts/bench_int8.py 2>&1 | tail -20
 
