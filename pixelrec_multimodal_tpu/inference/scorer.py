@@ -225,19 +225,28 @@ class CatalogScorer:
             )
             # 64 x 1024 pairs: ample for min/max range calibration while
             # keeping the assembled [B, C, h1] f32 transient ~134 MB.
+            # Users/items are a seeded random draw over the FULL id
+            # ranges — a sequential prefix can under-cover activation
+            # ranges and out-of-range activations clip silently at
+            # scoring time.
             n_cal_u, n_cal_i = 64, min(1024, self.n_items)
-            cal_users = jnp.arange(n_cal_u, dtype=jnp.int32) % model.n_users
+            rng = np.random.default_rng(0)
+            cal_users = jnp.asarray(rng.choice(
+                model.n_users, size=min(n_cal_u, model.n_users),
+                replace=False).astype(np.int32))
+            cal_items = jnp.asarray(np.sort(rng.choice(
+                self.n_items, size=n_cal_i, replace=False)).astype(np.int32))
             ue = self.model.apply(self.variables, cal_users,
                                   method='user_tower')
             if model.fusion_type == 'gated':
                 user_side = compute_user_side_gated(self._head, ue)
                 ranges = calibrate_head_ranges_gated(
                     self._head, user_side,
-                    tuple(a[:n_cal_i] for a in self._item_fast))
+                    tuple(a[cal_items] for a in self._item_fast))
             else:
                 uf = compute_user_first(self._head, ue)
                 ranges = calibrate_head_ranges(
-                    self._head, uf, self._item_fast[0][:n_cal_i])
+                    self._head, uf, self._item_fast[0][cal_items])
             self._head['qlayers'] = quantize_mlp_chain(self._head, ranges)
         elif precision != 'bf16':
             raise ValueError(f"precision must be 'bf16' or 'int8', "
@@ -273,10 +282,17 @@ class CatalogScorer:
                   self.model.num_numerical_features)]
         tower = jax.jit(partial(self.model.apply, method='item_tower'))
 
+        # When n_pad is not a multiple of the build chunk, the tail window
+        # slides BACK to [n_pad - chunk, n_pad) instead of padding past
+        # n_pad: the overlap rows are recomputed (pure per-item work) and
+        # dropped, the jit shape stays single, and the output is exactly
+        # n_pad rows (over-long output used to clamp later dynamic writes
+        # and silently corrupt earlier items' tables).
         parts = []
-        for start in range(0, n_pad, chunk):
-            end = min(start + chunk, n_pad)
-            live = max(0, min(end, n) - start)  # rows before padding
+        pos = 0
+        while pos < n_pad:
+            start = min(pos, n_pad - chunk)
+            live = max(0, min(start + chunk, n) - start)  # rows before padding
 
             def padded(arr, dtype):
                 out = np.zeros((chunk,) + arr.shape[1:], dtype)
@@ -297,8 +313,12 @@ class CatalogScorer:
                     # placeholder semantics, dataset.py:306-322).
                     kw[kwname] = jnp.zeros((chunk, dim), jnp.float32)
             tag = padded(t['tag_idx'], np.int32)
-            parts.append(tower(self.variables, jnp.asarray(idx), tag, **kw))
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            part = tower(self.variables, jnp.asarray(idx), tag, **kw)
+            parts.append(part if start == pos else part[pos - start:])
+            pos = start + chunk
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        assert out.shape[0] == n_pad, (out.shape, n_pad)
+        return out
 
     def _build_item_fast(self, compute) -> Tuple[jnp.ndarray, ...]:
         """Apply a per-item fused-table compute over the padded catalog in
@@ -328,9 +348,15 @@ class CatalogScorer:
         outs = tuple(jnp.zeros((n_pad,) + f.shape[1:], f.dtype)
                      for f in first)
         outs = write(outs, first, jnp.int32(0))
-        for start in range(chunk, n_pad, chunk):
+        # Tail window slides back to keep a single compiled shape; the
+        # overlap rows are recomputed with identical values (compute is
+        # pure per-item), so the overlapping write is a no-op on them.
+        pos = chunk
+        while pos < n_pad:
+            start = min(pos, n_pad - chunk)
             parts = compute_c(self._item_feats[start:start + chunk])
             outs = write(outs, parts, jnp.int32(start))
+            pos = start + chunk
         return outs
 
     # ---------------------------------------------------------- score kernels

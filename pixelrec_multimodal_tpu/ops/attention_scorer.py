@@ -703,7 +703,9 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
             bb = beta[b // H][b % H]
             w = (1.0 if a == b else 2.0)
             S0 = S0 + (ba * bb) * (w * isc(GR['g_vovo'] + a * n_vo + b))
-    var0 = S0 * inv_d - mu0 * mu0
+    # E[y^2] - mu^2 can cancel slightly negative in f32; clamp at 0 so
+    # rsqrt(var + eps) never sees var < -LN_EPS (NaN).
+    var0 = jnp.maximum(S0 * inv_d - mu0 * mu0, 0.0)
     isig0 = jax.lax.rsqrt(var0 + LN_EPS)
 
     # ---- tokens t>0 LayerNorm stats.
@@ -723,7 +725,7 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
                 S = S + (2.0 * a_h * b_c[t][h2]) * gp(1 + h, isx(t, h2))
                 S = S + (b_h * b_c[t][h2]) * isc(
                     GR['g_ss'] + t * H * H + h * H + h2)
-        var = S * inv_d - mu * mu
+        var = jnp.maximum(S * inv_d - mu * mu, 0.0)
         isig.append(jax.lax.rsqrt(var + LN_EPS))
         mus.append(mu)
 

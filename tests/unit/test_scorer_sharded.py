@@ -280,6 +280,42 @@ class TestChunkedTowerBuild:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize('fusion,variant', [
+        ('concatenate', None), ('gated', None),
+        ('attention', 'stream'), ('attention', 'gram')])
+    def test_chunked_build_nonmultiple_tail(self, monkeypatch, fusion,
+                                            variant):
+        """n_pad NOT a multiple of the build chunk (regression: the tail
+        chunk used to be padded past n_pad, and the resulting over-long
+        tower made later clamped dynamic writes silently overwrite earlier
+        items' fused tables). The tail window now slides back; tables and
+        scores must match the one-shot build exactly."""
+        kw = {} if variant is None else {'attention_variant': variant}
+        # n_items=150, item_chunk=64 -> n_pad=192; 192 % 128 != 0.
+        model, variables, store = _setup(fusion)
+        one = CatalogScorer(model, variables, store, item_chunk=64,
+                            user_chunk=8, **kw)
+        monkeypatch.setattr(CatalogScorer, '_TOWER_BUILD_CHUNK', 128)
+        many = CatalogScorer(model, variables, store, item_chunk=64,
+                             user_chunk=8, **kw)
+        assert many.n_pad == one.n_pad == 192
+        assert many._item_feats.shape[0] == 192
+        np.testing.assert_allclose(np.asarray(many._item_feats),
+                                   np.asarray(one._item_feats),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(many._item_fast, one._item_fast):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        users = np.asarray([0, 5, 9, 17], np.int32)
+        v0, i0 = one.top_k(users, 7)
+        v1, i1 = many.top_k(users, 7)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
+        s0 = one.score_full(users)
+        s1 = many.score_full(users)
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-6)
+
     @pytest.mark.parametrize('variant', ['stream', 'gram'])
     def test_packed_attention_tables_match_padded(self, monkeypatch,
                                                   variant):
