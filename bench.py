@@ -46,6 +46,10 @@ def log(*a):
 
 # --------------------------------------------------------------------- ours
 def bench_tpu() -> float:
+    if os.environ.get('BENCH_SELFTEST_HANG'):
+        # Dead-tunnel simulation hook (tests/unit/test_bench_policy.py):
+        # mimics jax.devices() hanging inside a wedged axon client.
+        time.sleep(10_000)
     import jax
     import jax.numpy as jnp
     from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
@@ -225,16 +229,88 @@ def get_baseline() -> float:
     return pps
 
 
+# -------------------------------------------------------- bounded execution
+# A wedged axon tunnel hangs inside jax.devices() — no exception ever
+# surfaces, so in-process retries cannot bound it (round-3 postmortem:
+# the driver run timed out at rc=124 with nothing on stdout). The TPU
+# measurement therefore runs in a watched SUBPROCESS: if the child does
+# not get past device discovery within DEVICES_TIMEOUT the tunnel is
+# dead and the attempt is killed fast; once devices appear, the child
+# gets a generous total budget (remote compiles run 3-190s). Dead
+# tunnel => at most 2 short attempts, exit rc=1 with the reason on
+# stderr and NOTHING on stdout.
+DEVICES_TIMEOUT = int(os.environ.get('BENCH_DEVICES_TIMEOUT', 120))
+TOTAL_TIMEOUT = int(os.environ.get('BENCH_TOTAL_TIMEOUT', 900))
+MAX_ATTEMPTS = 3         # flaky-but-alive tunnel retries
+DEAD_ATTEMPTS = 2        # attempts that never reached device discovery
+
+
+class AttemptFailed(RuntimeError):
+    def __init__(self, reason, dead_tunnel=False):
+        super().__init__(reason)
+        self.dead_tunnel = dead_tunnel
+
+
+def _run_attempt() -> float:
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        errpath = os.path.join(td, 'err.log')
+        outpath = os.path.join(td, 'out.json')
+        with open(errpath, 'w') as errf:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 '--tpu-child', outpath],
+                stdout=errf, stderr=subprocess.STDOUT,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or '.')
+            t0, devices_seen = time.time(), False
+            try:
+                while proc.poll() is None:
+                    time.sleep(2)
+                    elapsed = time.time() - t0
+                    if not devices_seen:
+                        with open(errpath) as f:
+                            devices_seen = 'devices:' in f.read()
+                    if not devices_seen and elapsed > DEVICES_TIMEOUT:
+                        raise AttemptFailed(
+                            f"no device discovery within {DEVICES_TIMEOUT}s "
+                            "(axon tunnel dead)", dead_tunnel=True)
+                    if elapsed > TOTAL_TIMEOUT:
+                        raise AttemptFailed(
+                            f"attempt exceeded {TOTAL_TIMEOUT}s total")
+            except AttemptFailed:
+                proc.kill()
+                proc.wait()
+                raise
+            finally:
+                with open(errpath) as f:
+                    sys.stderr.write(f.read())
+                sys.stderr.flush()
+        if proc.returncode != 0:
+            raise AttemptFailed(f"child exited rc={proc.returncode}")
+        with open(outpath) as f:
+            return json.load(f)['pairs_per_sec']
+
+
 def main():
     baseline = get_baseline()
-    # The axon tunnel has transient load spikes / dropped clients; one
-    # retry protects the unattended driver run from a flaky first attempt.
-    try:
-        ours = bench_tpu()
-    except Exception as e:
-        log(f"bench attempt 1 failed ({e!r}); retrying in 30s...")
-        time.sleep(30)
-        ours = bench_tpu()
+    ours, dead_hits = None, 0
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        try:
+            ours = _run_attempt()
+            break
+        except AttemptFailed as e:
+            dead_hits += e.dead_tunnel
+            log(f"bench attempt {attempt} failed: {e}")
+            if dead_hits >= DEAD_ATTEMPTS:
+                log("tunnel looks dead; giving up (bounded-failure policy)")
+                break
+            if attempt < MAX_ATTEMPTS:
+                log("retrying in 20s...")
+                time.sleep(20)
+    if ours is None:
+        log("bench FAILED: no measurement obtained")
+        sys.exit(1)
     print(json.dumps({
         'metric': 'full_catalog_topk_scored_pairs_per_sec',
         'value': round(ours, 1),
@@ -244,4 +320,9 @@ def main():
 
 
 if __name__ == '__main__':
+    if len(sys.argv) >= 3 and sys.argv[1] == '--tpu-child':
+        pps = bench_tpu()
+        with open(sys.argv[2], 'w') as f:
+            json.dump({'pairs_per_sec': pps}, f)
+        sys.exit(0)
     main()
