@@ -89,12 +89,20 @@ class TopKRetrievalEvaluator(BaseEvaluator):
 
     def __init__(self, recommender, test_data: pd.DataFrame, config,
                  use_sampling: bool = True, num_negatives: int = 100,
-                 sampling_strategy: str = 'random', **kwargs):
+                 sampling_strategy: str = 'random',
+                 full_catalog: bool = False, **kwargs):
         super().__init__(recommender, test_data, config, "Top-K Retrieval",
                          **kwargs)
         self.use_sampling = use_sampling
         self.num_negatives = num_negatives
         self.sampling_strategy = sampling_strategy
+        # full_catalog: rank every user's TOP-K OVER THE ENTIRE CATALOG —
+        # the reference recommender's candidates=None hot loop (reference
+        # recommender.py:96-106, batch-256 host python per user) done as
+        # blocked fused-scorer top-K. This is the meaningful full-catalog
+        # mode; `use_sampling=False` stays reference-parity (positives-only
+        # candidate set, reference tasks.py:332-338 — docs/evaluation.md).
+        self.full_catalog = full_catalog
         self.num_workers = kwargs.get('num_workers', 1)  # kept for API parity
 
     # ----------------------------------------------------------- candidates
@@ -210,7 +218,12 @@ class TopKRetrievalEvaluator(BaseEvaluator):
             pos = [str(i) for i in inter['item_id'].tolist()]
             users.append(user_id)
             positives.append(pos)
-            candidates.append(self._candidate_set(user_id, pos) if pos else [])
+            if not self.full_catalog:
+                candidates.append(
+                    self._candidate_set(user_id, pos) if pos else [])
+
+        if self.full_catalog:
+            return self._rank_full_catalog(users, positives)
 
         fast = hasattr(self.recommender, 'score_candidates_batch')
         if fast:
@@ -221,6 +234,34 @@ class TopKRetrievalEvaluator(BaseEvaluator):
                     f"Batched scoring failed ({e}); falling back to "
                     "per-user path.")
         return self._rank_sequential(users, candidates, positives)
+
+    def _rank_full_catalog(self, users, positives):
+        """Top-K over the whole catalog per user (|users| x |catalog|).
+
+        filter_seen=False keeps every test positive rankable — same contract
+        as the candidate-set path (reference tasks.py:344-354 passes
+        filter_seen=False). Learned recommenders take the one-device-pass
+        batched path (fused CatalogScorer, internally blocked); duck-typed
+        baselines fall back to their per-user full-catalog ranking.
+        """
+        rec = self.recommender
+        if hasattr(rec, 'get_recommendations_batch'):
+            out = rec.get_recommendations_batch(
+                users, top_k=self.top_k, filter_seen=False)
+        else:
+            out = {}
+            for u in users:
+                try:
+                    out[u] = rec.get_recommendations(
+                        u, top_k=self.top_k, filter_seen=False)
+                except Exception as e:
+                    print(f"Error evaluating user {u}: {e}")
+                    out[u] = []
+        results = []
+        for u, pos in zip(users, positives):
+            recs = [(str(i), float(s)) for i, s in out.get(u, [])]
+            results.append((u, recs, pos, [i for i, _ in recs]))
+        return results
 
     def _rank_batched(self, users, candidates, positives):
         ds = self.recommender.dataset
@@ -366,7 +407,10 @@ class TopKRetrievalEvaluator(BaseEvaluator):
     def evaluate(self) -> Dict[str, Any]:
         """Run retrieval evaluation (reference tasks.py:509-716)."""
         print(f"Evaluating Top-K Retrieval (K={self.top_k})")
-        if self.use_sampling:
+        if self.full_catalog:
+            print("Full-catalog mode: ranking every user's top-K over the "
+                  "entire catalog")
+        elif self.use_sampling:
             print(f"Using negative sampling: {self.num_negatives} negatives "
                   f"per user, strategy: {self.sampling_strategy}")
 
@@ -417,8 +461,10 @@ class TopKRetrievalEvaluator(BaseEvaluator):
             'avg_ndcg_at_k': float(np.mean(ndcg)) if num_users else 0.0,
             'avg_mrr': float(np.mean(mrr)) if num_users else 0.0,
             'num_users_evaluated': num_users,
-            'evaluation_method': ('negative_sampling' if self.use_sampling
-                                  else 'full_evaluation'),
+            'evaluation_method': (
+                'full_catalog' if self.full_catalog
+                else 'negative_sampling' if self.use_sampling
+                else 'full_evaluation'),
             'predictions': all_predictions,
         }
 

@@ -151,7 +151,13 @@ def main(cli_args=None):
                         help='Use negative sampling for faster evaluation')
     parser.add_argument('--no_sampling', dest='use_sampling',
                         action='store_false',
-                        help='Disable negative sampling')
+                        help='Disable negative sampling (reference-parity '
+                             'positives-only candidates; see '
+                             'docs/evaluation.md)')
+    parser.add_argument('--full_catalog', action='store_true',
+                        help='Retrieval task: rank each user\'s top-K over '
+                             'the ENTIRE catalog (blocked fused-scorer '
+                             'top-K) instead of a sampled candidate set')
     parser.add_argument('--num_negatives', type=int, default=20,
                         help='Number of negative samples per positive item')
     parser.add_argument('--sampling_strategy', type=str, default='random',
@@ -239,6 +245,7 @@ def main(cli_args=None):
         use_sampling=args.use_sampling,
         num_negatives=args.num_negatives,
         sampling_strategy=args.sampling_strategy,
+        full_catalog=args.full_catalog,
         num_workers=args.num_workers)
 
     results = evaluator.evaluate()
@@ -256,6 +263,7 @@ def main(cli_args=None):
         'recommender_type': args.recommender_type,
         'eval_task': args.eval_task,
         'use_sampling': args.use_sampling,
+        'full_catalog': args.full_catalog,
         'num_negatives': args.num_negatives,
         'sampling_strategy': args.sampling_strategy,
         'test_data': args.test_data,

@@ -242,6 +242,39 @@ class TestRetrievalEvaluator:
         res = ev.evaluate()
         assert res['evaluation_method'] == 'full_evaluation'
 
+    def test_full_catalog_mode(self, eval_setup):
+        rec, test, cfg = eval_setup
+        ev = TopKRetrievalEvaluator(rec, test, cfg, full_catalog=True)
+        res = ev.evaluate()
+        assert res['evaluation_method'] == 'full_catalog'
+        # Full catalog ranked by score = item number: u1's positive i39 is
+        # the global argmax (hit at rank 1), u2's positive i0 the argmin
+        # (outside top-5) -> hit rate 0.5, MRR (1.0 + 0.0)/2.
+        assert res['avg_hit_rate_at_k'] == 0.5
+        assert res['avg_mrr'] == 0.5
+        assert res['predictions']['u1'][0][0] == 'i39'
+        assert len(res['predictions']['u1']) == cfg.recommendation.top_k
+
+    def test_full_catalog_batched_matches_per_user(self, eval_setup):
+        rec, test, cfg = eval_setup
+        per_user = TopKRetrievalEvaluator(
+            rec, test, cfg, full_catalog=True).evaluate()
+
+        class BatchedFake(type(rec)):
+            def get_recommendations_batch(self, user_ids, top_k=10,
+                                          filter_seen=True):
+                return {u: self.get_recommendations(
+                    u, top_k=top_k, filter_seen=filter_seen)
+                    for u in user_ids}
+
+        brec = BatchedFake(list(rec.dataset.item_encoder.classes_),
+                           rec.dataset.interactions)
+        batched = TopKRetrievalEvaluator(
+            brec, test, cfg, full_catalog=True).evaluate()
+        for key in ('avg_hit_rate_at_k', 'avg_mrr', 'avg_ndcg_at_k'):
+            assert batched[key] == per_user[key]
+        assert batched['predictions'] == per_user['predictions']
+
     def test_stable_seed(self):
         assert stable_user_seed('u1') == stable_user_seed('u1')
         assert stable_user_seed('u1') != stable_user_seed('u2')
