@@ -681,6 +681,23 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     def irw(t):
         return 2 * n_vo + t
 
+    # ---- sublane-stacked coefficient planes (round 4). The round-3
+    # kernel issued ~1.5k single-vreg [TB, TC] plane ops here — the
+    # measured binding term was per-instruction issue overhead, not
+    # element throughput (BASELINE.md gram section). Stacking the
+    # coefficient planes along the SUBLANE axis ([K, TB, TC]: K*TB
+    # sublanes x TC lanes) turns each K-term accumulation into a couple
+    # of multi-vreg ops, and the Gram quadratics become one broadcasted
+    # outer product + reduction (the g_vovo table stores the FULL
+    # symmetric matrix, so the unsymmetrized double sum doubles
+    # off-diagonals implicitly). Pure f32 reassociation of the same
+    # sums — validated against xla_attention_scores at the original
+    # tolerance.
+    def isc_rows(r0, n):  # [n, TC] item-scalar row block
+        return jax.lax.slice(it_scT, (r0, 0), (r0 + n, TC))
+
+    Bs3 = jnp.stack([beta[m][h] for m in range(Mi) for h in range(H)])
+
     # ---- token 0 LayerNorm stats from Grams.
     mu0 = jnp.broadcast_to(us(UC['m_uraw']), (TB, TC))
     S0 = jnp.broadcast_to(us(UC['g_rr']), (TB, TC))
@@ -689,42 +706,48 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         S0 = S0 + (2.0 * alpha[h]) * us(UC['g_rvo'] + h)
         for h2 in range(H):
             S0 = S0 + (alpha[h] * alpha[h2]) * us(UC['g_vv'] + h * H + h2)
-    for m in range(Mi):
-        for h in range(H):
-            b_mh = beta[m][h]
-            mu0 = mu0 + b_mh * isc(GR['m_vo'] + ivo(m, h))
-            S0 = S0 + (2.0 * b_mh) * gp(0, ivo(m, h))
-            for h2 in range(H):
-                S0 = S0 + (alpha[h2] * b_mh) * (2.0 * gp(1 + h2, ivo(m, h)))
-    # item-item vo Gram quadratic (symmetric: off-diagonal doubled).
-    for a in range(n_vo):
-        ba = beta[a // H][a % H]
-        for b in range(a, n_vo):
-            bb = beta[b // H][b % H]
-            w = (1.0 if a == b else 2.0)
-            S0 = S0 + (ba * bb) * (w * isc(GR['g_vovo'] + a * n_vo + b))
+    mu0 = mu0 + jnp.sum(Bs3 * isc_rows(GR['m_vo'], n_vo)[:, None, :], axis=0)
+    gp0 = jnp.stack([gp(0, i) for i in range(n_vo)])    # [n_vo, TB, TC]
+    S0 = S0 + 2.0 * jnp.sum(Bs3 * gp0, axis=0)
+    for h2 in range(H):
+        gph = jnp.stack([gp(1 + h2, i) for i in range(n_vo)])
+        S0 = S0 + (2.0 * alpha[h2]) * jnp.sum(Bs3 * gph, axis=0)
+    # item-item vo Gram quadratic: inner_a = sum_b beta_b G_ab, then
+    # S0 += sum_a beta_a inner_a.
+    Gv = isc_rows(GR['g_vovo'], n_vo * n_vo).reshape(n_vo, n_vo, TC)
+    inner = jnp.sum(Gv[:, :, None, :] * Bs3[None], axis=1)
+    S0 = S0 + jnp.sum(Bs3 * inner, axis=0)
     # E[y^2] - mu^2 can cancel slightly negative in f32; clamp at 0 so
     # rsqrt(var + eps) never sees var < -LN_EPS (NaN).
     var0 = jnp.maximum(S0 * inv_d - mu0 * mu0, 0.0)
     isig0 = jax.lax.rsqrt(var0 + LN_EPS)
 
-    # ---- tokens t>0 LayerNorm stats.
+    # ---- tokens t>0 LayerNorm stats ([H, TB, TC] stacks per token).
+    A4 = [jnp.stack(a_c[t]) for t in range(Mi)]
+    B4 = [jnp.stack(b_c[t]) for t in range(Mi)]
+    m_sx = isc_rows(GR['m_sexp'], n_vo).reshape(Mi, H, TC)
+    g_rsx = isc_rows(GR['g_rsexp'], n_vo).reshape(Mi, H, TC)
+    g_ss4 = isc_rows(GR['g_ss'], Mi * H * H).reshape(Mi, H, H, TC)
     isig = []
     mus = []
     for t in range(Mi):
+        At, Bt = A4[t], B4[t]
         mu = jnp.broadcast_to(isc(GR['m_raw'] + t), (TB, TC))
         S = jnp.broadcast_to(isc(GR['g_rr'] + t), (TB, TC))
         for h in range(H):
-            a_h, b_h = a_c[t][h], b_c[t][h]
-            mu = mu + a_h * us(UC['m_uvo'] + h) + b_h * isc(
-                GR['m_sexp'] + t * H + h)
-            S = S + (2.0 * a_h) * gp(1 + h, irw(t))
-            S = S + (2.0 * b_h) * isc(GR['g_rsexp'] + t * H + h)
+            mu = mu + a_c[t][h] * us(UC['m_uvo'] + h)
             for h2 in range(H):
-                S = S + (a_h * a_c[t][h2]) * us(UC['g_vv'] + h * H + h2)
-                S = S + (2.0 * a_h * b_c[t][h2]) * gp(1 + h, isx(t, h2))
-                S = S + (b_h * b_c[t][h2]) * isc(
-                    GR['g_ss'] + t * H * H + h * H + h2)
+                S = S + (a_c[t][h] * a_c[t][h2]) * us(UC['g_vv'] + h * H + h2)
+        mu = mu + jnp.sum(Bt * m_sx[t][:, None, :], axis=0)
+        gpr = jnp.stack([gp(1 + h, irw(t)) for h in range(H)])
+        S = S + 2.0 * jnp.sum(At * gpr, axis=0)
+        S = S + 2.0 * jnp.sum(Bt * g_rsx[t][:, None, :], axis=0)
+        gpx = jnp.stack(
+            [jnp.stack([gp(1 + h, isx(t, h2)) for h2 in range(H)])
+             for h in range(H)])                        # [H, H, TB, TC]
+        S = S + 2.0 * jnp.sum((At[:, None] * Bt[None]) * gpx, axis=(0, 1))
+        S = S + jnp.sum((Bt[:, None] * Bt[None]) * g_ss4[t][:, :, None, :],
+                        axis=(0, 1))
         var = jnp.maximum(S * inv_d - mu * mu, 0.0)
         isig.append(jax.lax.rsqrt(var + LN_EPS))
         mus.append(mu)
@@ -738,14 +761,16 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         for t in range(Mi):
             w = w + a_c[t][h] * isig[t]
         w_uvo.append(w)
+    # w_vo[m][h] = beta_mh/sig0 + sum_t (b_th/sig_t) e_ii[t,m,h], with the
+    # t-sum batched over [Mi_t, H, TB, TC].
+    Q4 = jnp.stack([B4[t] * isig[t][None] for t in range(Mi)])
+    E4 = isc_rows(GR['e_ii'], Mi * Mi * H).reshape(Mi, Mi, H, TC)
     w_vo = [[None] * H for _ in range(Mi)]
     for m in range(Mi):
+        wm = (Bs3[m * H:(m + 1) * H] * isig0[None]
+              + jnp.sum(Q4 * E4[:, m][:, :, None, :], axis=0))
         for h in range(H):
-            w = beta[m][h] * isig0
-            for t in range(Mi):
-                w = w + (b_c[t][h] * isig[t]) * isc(
-                    GR['e_ii'] + (t * Mi + m) * H + h)
-            w_vo[m][h] = w
+            w_vo[m][h] = wm[h]
     ones_c = mu0 * isig0
     for t in range(Mi):
         ones_c = ones_c + mus[t] * isig[t]

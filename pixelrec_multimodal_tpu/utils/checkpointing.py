@@ -44,6 +44,16 @@ def _checkpointer() -> ocp.StandardCheckpointer:
     return _CHECKPOINTER
 
 
+def _restore_numpy(state_dir: Path) -> Dict[str, Any]:
+    """Restore a pytree checkpoint as host numpy arrays, ignoring the
+    shardings it was saved under (platform-portable open)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.metadata(state_dir).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(state_dir, restore_args=restore_args)
+
+
 def normalize_checkpoint_name(filename: str) -> str:
     """'best_model.pth' -> 'best_model' (keeps reference CLI args working)."""
     for ext in ('.pth', '.ckpt', '.pt'):
@@ -86,7 +96,11 @@ def load_checkpoint(directory: str | Path, name: str,
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
         state = ckptr.restore(state_dir, abstract)
     else:
-        state = ckptr.restore(state_dir)
+        # Targetless restore must NOT replay the saved device shardings —
+        # a checkpoint written on CPU would fail to open on TPU ("Device
+        # TFRT_CPU_0 was not found") and vice versa. Restore to host numpy;
+        # consumers move arrays on device as jit arguments.
+        state = _restore_numpy(state_dir)
     meta = {}
     meta_path = root / 'meta.json'
     if meta_path.exists():

@@ -81,6 +81,23 @@ class TestCheckpointDiscovery:
         (tmp_path / 'best_model' / 'state').mkdir(parents=True)
         assert find_checkpoint(tmp_path).name == 'best_model'
 
+    def test_targetless_restore_is_platform_portable(self, tmp_path):
+        """Targetless load must restore HOST numpy, not replay the saved
+        device shardings (a CPU-saved checkpoint previously failed to open
+        on TPU with 'Device TFRT_CPU_0 was not found')."""
+        import jax.numpy as jnp
+        import numpy as np
+        from pixelrec_multimodal_tpu.utils.checkpointing import (
+            load_checkpoint, save_checkpoint)
+        state = {'params': {'w': jnp.arange(6.0).reshape(2, 3)},
+                 'step': jnp.asarray(3)}
+        save_checkpoint(tmp_path, 'best_model', state, {'epoch': 1})
+        out = load_checkpoint(tmp_path, 'best_model')
+        w = out['state']['params']['w']
+        assert isinstance(w, np.ndarray)  # host array, no device binding
+        np.testing.assert_array_equal(w, np.arange(6.0).reshape(2, 3))
+        assert out['meta']['epoch'] == 1
+
 
 class TestTokenization:
     def test_hash_tokenizer_deterministic(self):
