@@ -59,8 +59,16 @@ class TestSchedulerParity:
         else:
             sched = torch.optim.lr_scheduler.StepLR(
                 opt, step_size=kw['patience'], gamma=kw['factor'])
+        # The reference steps the scheduler once per EPOCH after the
+        # epoch's per-batch optimizer.step() calls (reference
+        # trainer.py:279-281 vs :397), so optimizer steps always precede
+        # scheduler steps there. Mirror that order here — without it,
+        # torch's step-order heuristic fires a UserWarning and the torch
+        # trajectory would include the skipped-first-LR quirk the
+        # reference never exhibits.
         out = []
         for i in range(steps):
+            opt.step()
             if kind == 'reduce_on_plateau':
                 sched.step(val_losses[i])
             else:
