@@ -523,10 +523,10 @@ def _attention_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
 
 # ------------------------------------------------------- gram-LN kernel
 def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
-                           u_sc_ref, it_gs_ref, it_q_ref, it_k_ref,
+                           u_sc_ref, it_gs_ref, it_kq_ref,
                            it_dmT_ref, it_scT_ref,
                            b1_ref, w1_ref, *rest_refs,
-                           out_ref, acc_scr,
+                           out_ref,
                            n_layers, n_item_mods, H, dh, d, dp, h1,
                            ln_scale_ref, ln_bias_ref,
                            activation, final_activation, compute_dtype):
@@ -586,9 +586,6 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
         return jnp.where((lane >= h * dh) & (lane < (h + 1) * dh), 1.0, 0.0)
 
-    def it_tok(ref, m):  # [TC, dp] token ref slice (full [TC, Mi*dp]
-        return ref[:, m * dp:(m + 1) * dp].astype(f32)   # loads are VMEM)
-
     def us(c):  # user scalar column -> [TB, 1]
         return jax.lax.slice(u_sc, (0, c), (TB, c + 1))
 
@@ -598,13 +595,19 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     def gs_vec(i):  # component vector i -> [TC, dp] ref slice
         return it_gs_ref[i].astype(f32)
 
-    # ---- user-item cross Grams. Ug rows: 0 = u_raw, 1+h = u_vo_h;
-    # gram-stack vectors: vo (m*H+h), sexp (n_vo + t*H+h), raw
-    # (2*n_vo + t). One small MXU matmul per component vector against a
-    # ref slice — a single [(1+H)*TB, n_i*TC] matmul over the reshaped
-    # stack costs two extra whole-stack VMEM copies (2.4MB each at the
-    # bench geometry: the full-block load + the reshape), which is what
-    # blew the 16MB scoped-VMEM limit.
+    # ---- user-item cross Grams + attention logits as TWO batched MXU
+    # matmuls (round 4). Ug rows: 0 = u_raw, 1+h = u_vo_h; gram-stack
+    # vectors: vo (m*H+h), sexp (n_vo + t*H+h), raw (2*n_vo + t). The
+    # round-3 kernel issued n_i + 2*Mi = 29 small [<=40, dp] x [TC, dp]^T
+    # matmuls per tile, each paying MXU pipeline fill; with the scalar-
+    # plane restructure measured perf-neutral, that fixed cost is the
+    # next candidate binding term. One [(1+H)*TB, dp] x [n_i*TC, dp]^T
+    # matmul (+ one [2*H*TB, dp] x [2*Mi*TC, dp]^T for the logits) pays
+    # it once; planes come out as row/lane slices at vreg-aligned
+    # offsets. The whole-stack reshape copies (~2.7MB at the bench
+    # geometry) sit under the raised 64MB scoped-VMEM limit — the
+    # round-3 single-matmul attempt predated that raise and blew the
+    # 16MB default.
     Ug = jnp.concatenate(
         [u_raw] + [u_vo_ref[:, h * dp:(h + 1) * dp].astype(f32)
                    for h in range(H)], axis=0)          # [(1+H)*TB, dp]
@@ -617,22 +620,29 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     # the stream kernel). HIGHEST measured 10% slower (51.0M vs 56.6M
     # kernel-only); Mosaic rejects HIGH (bf16x3) in-kernel. The
     # once-per-catalog table Grams DO run at HIGHEST (free there).
-    GPs = [nt_matmul(Ug, gs_vec(i)) for i in range(n_i)]
+    gs2d = it_gs_ref[:].astype(f32).reshape(n_i * TC, dp)
+    GP_all = nt_matmul(Ug, gs2d)          # [(1+H)*TB, n_i*TC]
 
     def gp(uvec, ivec):  # [TB, TC] cross-Gram plane
-        return jax.lax.slice(GPs[ivec], (uvec * TB, 0),
-                             ((uvec + 1) * TB, TC))
+        return jax.lax.slice(GP_all, (uvec * TB, ivec * TC),
+                             ((uvec + 1) * TB, (ivec + 1) * TC))
 
-    # ---- pairwise attention logits, batched over heads: Mi matmuls for
-    # t=0 (user queries item keys) + Mi for t>0 (item tokens query the
-    # user key) instead of Mi*H each.
+    # ---- pairwise attention logits: one matmul for all (head, token)
+    # planes. it_kq stacks the Mi key tokens then the Mi query tokens
+    # token-major ([2*Mi, TC, dp], built once per catalog chunk by the
+    # dispatch); Aq rows hit the key half, Ak rows the query half.
     Aq = jnp.concatenate([u_q * head_mask(h) for h in range(H)], axis=0)
     Ak = jnp.concatenate([u_k * head_mask(h) for h in range(H)], axis=0)
-    s0 = [nt_matmul(Aq, it_tok(it_k_ref, m)) for m in range(Mi)]
-    siu = [nt_matmul(Ak, it_tok(it_q_ref, t)) for t in range(Mi)]
+    kq2d = it_kq_ref[:].astype(f32).reshape(2 * Mi * TC, dp)
+    S_all = nt_matmul(jnp.concatenate([Aq, Ak], axis=0), kq2d)
 
-    def hplane(stack, h):  # [TB, TC] head plane of a batched result
-        return jax.lax.slice(stack, (h * TB, 0), ((h + 1) * TB, TC))
+    def s0_plane(m, h):   # user-query logits vs item key token m
+        return jax.lax.slice(S_all, (h * TB, m * TC),
+                             ((h + 1) * TB, (m + 1) * TC))
+
+    def siu_plane(t, h):  # item-token-t query vs user-key logits
+        return jax.lax.slice(S_all, ((H + h) * TB, (Mi + t) * TC),
+                             ((H + h + 1) * TB, (Mi + t + 1) * TC))
 
     # ---- t=0 softmax coefficients (full 5-plane softmax per head).
     alpha = []                               # [h] -> [TB, TC]
@@ -640,7 +650,7 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     for h in range(H):
         l_user = jnp.broadcast_to(
             jax.lax.slice(u_suu, (0, h), (TB, h + 1)), (TB, TC))
-        planes = [l_user] + [hplane(s0[m], h) for m in range(Mi)]
+        planes = [l_user] + [s0_plane(m, h) for m in range(Mi)]
         mx = planes[0]
         for p in planes[1:]:
             mx = jnp.maximum(mx, p)
@@ -665,7 +675,7 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
             mx = jnp.broadcast_to(
                 jax.lax.slice(it_dmT, ((h * Mi + t) * 2 + 1, 0),
                               ((h * Mi + t) * 2 + 2, TC)), (TB, TC))
-            e_u = jnp.exp(jnp.minimum(hplane(siu[t], h) - mx, 80.0))
+            e_u = jnp.exp(jnp.minimum(siu_plane(t, h) - mx, 80.0))
             r = 1.0 / (e_u + dsum)
             a_c[t][h] = e_u * r
             b_c[t][h] = r
@@ -775,23 +785,24 @@ def _attention_gram_kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref,
     for t in range(Mi):
         ones_c = ones_c + mus[t] * isig[t]
 
-    # ---- the single dp-wide combination pass. Each unrolled step closes
-    # with a scratch-ref store so Mosaic reuses the [TB, TC, dp] slot
-    # (value-accumulator chains keep every iteration live — the same
-    # liveness rule the stream kernel's attn_scr enforces).
+    # ---- the single dp-wide combination pass, on a VALUE accumulator
+    # (round 4). The round-3 scratch-ref formulation closed every step
+    # with a store so Mosaic could reuse the [TB, TC, dp] slot under the
+    # 16MB scoped-VMEM limit — 26 store+load roundtrips = ~26MB of VMEM
+    # traffic per tile. Under the raised 64MB limit the value chain's
+    # liveness fits, and the stores vanish.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2)
     live_f = jnp.where(lane < d, 1.0, 0.0)
-    acc_scr[:] = isig0[:, :, None] * u_raw[:, None, :]
+    acc = isig0[:, :, None] * u_raw[:, None, :]
     for h in range(H):
-        acc_scr[:] = acc_scr[:] + w_uvo[h][:, :, None] * jax.lax.slice(
+        acc = acc + w_uvo[h][:, :, None] * jax.lax.slice(
             Ug, ((1 + h) * TB, 0), ((2 + h) * TB, dp))[:, None, :]
     for m in range(Mi):
         for h in range(H):
-            acc_scr[:] = (acc_scr[:]
-                          + w_vo[m][h][:, :, None] * gs_vec(ivo(m, h))[None])
+            acc = acc + w_vo[m][h][:, :, None] * gs_vec(ivo(m, h))[None]
     for t in range(Mi):
-        acc_scr[:] = acc_scr[:] + isig[t][:, :, None] * gs_vec(irw(t))[None]
-    acc = acc_scr[:] - ones_c[:, :, None] * live_f
+        acc = acc + isig[t][:, :, None] * gs_vec(irw(t))[None]
+    acc = acc - ones_c[:, :, None] * live_f
 
     # ln_scale already carries gamma * (1/T); dead lanes are zero on both
     # affine vectors so they stay zero into the (zero-pad-row) MLP.
@@ -859,14 +870,20 @@ def _pallas_attention_scores_gram(
         final_activation=head['final_activation'],
         compute_dtype=compute_dtype)
 
+    # Key/query tokens stacked token-major ([2*Mi, C, dp]) so the kernel
+    # computes every (head, token) logit plane with ONE MXU matmul over
+    # the sublane-flattened [2*Mi*TC, dp] stack (key tokens first).
+    it_kq = jnp.concatenate([
+        it_k.reshape(C, Mi, dp).transpose(1, 0, 2),
+        it_q.reshape(C, Mi, dp).transpose(1, 0, 2)], axis=0)
+
     def wrapped(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref, u_sc_ref,
-                it_gs_ref, it_q_ref, it_k_ref, it_dmT_ref, it_scT_ref,
+                it_gs_ref, it_kq_ref, it_dmT_ref, it_scT_ref,
                 b1_ref, w1_ref, ln_scale_ref, ln_bias_ref, *rest):
-        *layer_refs, out_ref, acc_scr = rest
+        *layer_refs, out_ref = rest
         kernel(u_raw_ref, u_q_ref, u_k_ref, u_vo_ref, u_suu_ref, u_sc_ref,
-               it_gs_ref, it_q_ref, it_k_ref, it_dmT_ref, it_scT_ref,
+               it_gs_ref, it_kq_ref, it_dmT_ref, it_scT_ref,
                b1_ref, w1_ref, *layer_refs, out_ref=out_ref,
-               acc_scr=acc_scr,
                ln_scale_ref=ln_scale_ref, ln_bias_ref=ln_bias_ref)
 
     return pl.pallas_call(
@@ -876,7 +893,7 @@ def _pallas_attention_scores_gram(
             u_spec(u_raw), u_spec(u_q), u_spec(u_k), u_spec(u_vo),
             u_spec(u_suu), u_spec(u_sc),
             pl.BlockSpec((n_i, tile_items, dp), lambda i, j: (0, j, 0)),
-            it_spec(it_q), it_spec(it_k),
+            pl.BlockSpec((2 * Mi, tile_items, dp), lambda i, j: (0, j, 0)),
             pl.BlockSpec((it_dmT.shape[0], tile_items),
                          lambda i, j: (0, j)),
             pl.BlockSpec((it_scT.shape[0], tile_items),
@@ -890,9 +907,6 @@ def _pallas_attention_scores_gram(
         out_specs=pl.BlockSpec((tile_users, tile_items),
                                lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_users, tile_items, dp), jnp.float32),
-        ],
         # The gram stack block + its CSE'd loads put the 8x128 tile at
         # ~18MB scoped VMEM — above the 16MB compiler default but well
         # under the 128MB physical VMEM. Raise the scoped limit rather
@@ -901,7 +915,7 @@ def _pallas_attention_scores_gram(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(u_raw, u_q, u_k, u_vo, u_suu, u_sc,
-      it_gs, it_q, it_k, it_dmT, it_scT,
+      it_gs, it_kq, it_dmT, it_scT,
       head['b1'], head['w1'], ln_scale, ln_bias, *layer_args)
 
 

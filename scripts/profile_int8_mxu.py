@@ -60,8 +60,10 @@ def bf16_chain_kernel(x_ref, w1_ref, w2_ref, o_ref):
         h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
         z = jnp.dot(h, w2, preferred_element_type=jnp.float32)
         acc = acc + z
-        # fold the result back so iterations stay dependent
-        x = jax.lax.dynamic_update_slice(x, z.astype(jnp.bfloat16), (0, 0))
+        # fold the result back so iterations stay dependent (static
+        # concatenate: Mosaic has no dynamic_update_slice lowering)
+        x = jnp.concatenate(
+            [z.astype(jnp.bfloat16), x[:, H3:]], axis=1)
     o_ref[:] = acc
 
 
@@ -82,8 +84,8 @@ def int8_chain_kernel(x_ref, w1_ref, w2_ref, o_ref, *, rescale: bool):
             h8 = (h32 >> 8).astype(jnp.int8)
         z32 = jnp.dot(h8, w2, preferred_element_type=jnp.int32)
         acc = acc + z32.astype(jnp.float32) * (1.0 / 4096.0)
-        x = jax.lax.dynamic_update_slice(
-            x, (z32 >> 6).astype(jnp.int8), (0, 0))
+        x = jnp.concatenate(
+            [(z32 >> 6).astype(jnp.int8), x[:, H3:]], axis=1)
     o_ref[:] = acc
 
 
