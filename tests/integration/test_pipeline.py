@@ -178,6 +178,31 @@ def test_evaluate_multimodal(workspace):
     assert saved['num_users_evaluated'] > 0
 
 
+def test_evaluate_full_catalog(workspace):
+    """--full_catalog ranks every user's top-K over the whole catalog
+    through the batched scorer (the reference's candidates=None hot mode,
+    recommender.py:96-106, done meaningfully)."""
+    root, cfg = workspace
+    import evaluate
+    out = root / 'results/eval_full_catalog.json'
+    preds = root / 'results/preds_full_catalog.json'
+    evaluate.main([
+        '--config', cfg,
+        '--test_data', str(root / 'data/splits/split_1/test.csv'),
+        '--output', str(out),
+        '--full_catalog',
+        '--save_predictions', str(preds),
+    ])
+    saved = json.loads(out.read_text())
+    assert saved['evaluation_method'] == 'full_catalog'
+    assert saved['evaluation_metadata']['full_catalog'] is True
+    assert saved['num_users_evaluated'] > 0
+    assert np.isfinite(saved['avg_ndcg_at_k'])
+    p = json.loads(preds.read_text())
+    # every evaluated user got a full top-k list over the catalog
+    assert all(len(v) == 5 for v in p.values() if v)
+
+
 def test_evaluate_baselines(workspace):
     root, cfg = workspace
     import evaluate
