@@ -91,6 +91,7 @@ def int8_chain_kernel(x_ref, w1_ref, w2_ref, o_ref, *, rescale: bool):
 
 def run_variant(name, kernel, x, w1, w2, grid):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
     call = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -101,6 +102,10 @@ def run_variant(name, kernel, x, w1, w2, grid):
         ],
         out_specs=pl.BlockSpec((ROWS, H3), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ROWS, H3), jnp.float32),
+        # The unrolled K-chain holds several [ROWS, H*] intermediates
+        # live — past the 16MB scoped-VMEM default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )
     fn = jax.jit(lambda a, b, c: call(a, b, c))
     try:
