@@ -117,18 +117,22 @@ class CatalogScorer:
         # use more VMEM per pair than concat, so their user tiles shrink.
         is_gram = (model.fusion_type == 'attention'
                    and self.attention_variant == 'gram')
-        defaults = {'concatenate': 64, 'gated': 32,
-                    'attention': 16 if is_gram else 8}
+        defaults = {'concatenate': 64, 'gated': 32, 'attention': 8}
         if tile_users is None:
             tile_users = defaults.get(model.fusion_type, 32)
         self.tile_users = tile_users
         if tile_items is None and is_gram:
-            # 16x256 measured best for the gram kernel (57.4M vs 55.8M at
-            # 8x128, round-4 sweep); 8x512 exceeds the 64MB scoped limit.
-            # The stream variant keeps 8x128 — it runs under the default
-            # 16MB scoped-VMEM limit and 16-user tiles need 24.99M there.
-            # Clamped to the item chunk (toy/test geometries use tiny
-            # chunks; the grid needs item_chunk % tile_items == 0).
+            # 8x256 for the gram kernel: the round-4 kernel-only sweep put
+            # 16x256 first (57.4M vs 56.4M at 8x256), but through the
+            # production scorer 16x256 overflows the 64MB scoped-VMEM
+            # limit and the backoff burns a failed remote compile at every
+            # startup — measured e2e both land at ~48M pairs/s, so the
+            # default is the geometry that compiles first try. 8x512
+            # exceeds even 64MB. The stream variant keeps 8x128 — it runs
+            # under the default 16MB scoped-VMEM limit and 16-user tiles
+            # need 24.99M there. Clamped to the item chunk (toy/test
+            # geometries use tiny chunks; the grid needs
+            # item_chunk % tile_items == 0).
             tile_items = min(256, self.item_chunk)
         self.tile_items = tile_items if tile_items else 128
         self._sharded_fns: Dict = {}
