@@ -48,6 +48,47 @@ class FrozenBatchNorm(nn.Module):
         return ((x - mean) * inv * scale + bias).astype(x.dtype)
 
 
+class _S2DStemConv(nn.Module):
+    """The 7x7/s2 stem conv evaluated as a 4x4/s1 conv on space-to-depth
+    packed input — the classic TPU ResNet transform.
+
+    The canonical [7, 7, 3, F] kernel is underfilled on the MXU: 3 input
+    channels on 128 lanes gives the implicit GEMM a reduction dim of
+    7*7*3 = 147 at ~2% lane occupancy, and the measured e2e roofline
+    decomposition (BASELINE.md round 4) put the whole ResNet-50 forward at
+    26% of peak with the stem as the named lever. Packing each 2x2 input
+    block into channels ([B, H, W, 3] -> [B, H/2, W/2, 12]) turns the
+    stride-2 7x7 into a stride-1 4x4 over 12 channels: output row ``oh``
+    of the original conv reads input rows ``2*oh + kh - 3`` (kh in 0..6);
+    writing ``2*oh + kh - 3 = 2*p + dh`` gives packed rows
+    ``p - oh in {-2,-1,0,1}`` — 4 taps, pad (2, 1). The packed kernel is
+    the canonical one zero-padded to 8x8 at the leading edge (the
+    ``kh = -1`` tap never existed) and regrouped, so the computation is
+    mathematically identical — extra taps carry exactly-zero weights.
+
+    The PARAM stays the canonical [7, 7, 3, F] kernel at the same tree
+    path ('conv/kernel'): checkpoints, HF converters, and freeze masks are
+    unaffected, and gradients flow through the (linear) regrouping.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features), jnp.float32)
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        z = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        z = z.reshape(4, 2, 4, 2, 3, self.features)
+        w = z.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ConvBN(nn.Module):
     """Conv -> frozen BN (-> ReLU) as HF's ResNetConvLayer."""
     features: int
@@ -55,14 +96,19 @@ class ConvBN(nn.Module):
     stride: int = 1
     act: bool = True
     dtype: Any = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
-        pad = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)), use_bias=False,
-                    dtype=self.dtype, name='conv')(x)
+        if self.space_to_depth:
+            x = _S2DStemConv(self.features, dtype=self.dtype,
+                             name='conv')(x)
+        else:
+            pad = self.kernel // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)), use_bias=False,
+                        dtype=self.dtype, name='conv')(x)
         x = FrozenBatchNorm(self.features, name='bn')(x)
         return nn.relu(x) if self.act else x
 
@@ -100,7 +146,12 @@ class ResNetTower(nn.Module):
         pooled (B, 2048))."""
         c = self.config
         x = pixel_values.transpose(0, 2, 3, 1)
-        x = ConvBN(c.embedding_size, 7, 2, dtype=self.dtype, name='stem')(x)
+        # Space-to-depth stem whenever the spatial dims allow the 2x2
+        # packing (any production 224px input does); equivalence with the
+        # canonical stem is unit-tested, params are identical either way.
+        s2d = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        x = ConvBN(c.embedding_size, 7, 2, dtype=self.dtype,
+                   space_to_depth=s2d, name='stem')(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         for stage, (channels, depth) in enumerate(zip(c.hidden_sizes, c.depths)):

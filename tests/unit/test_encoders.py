@@ -206,6 +206,22 @@ class TestVisionParity:
         hf_pooled = out.pooler_output.squeeze(-1).squeeze(-1).numpy()
         np.testing.assert_allclose(np.asarray(pooled), hf_pooled, **TOL)
 
+    def test_resnet_odd_input_uses_canonical_stem(self):
+        # Odd spatial dims can't pack 2x2 blocks; the tower must fall back
+        # to the canonical 7x7/s2 stem and still match torch.
+        from transformers import ResNetConfig, ResNetModel
+        hf = ResNetModel(ResNetConfig(
+            embedding_size=8, hidden_sizes=[16, 32], depths=[2, 2])).eval()
+        model = ResNetTower(JResNetConfig(
+            embedding_size=8, hidden_sizes=(16, 32), depths=(2, 2)))
+        params = convert_resnet(hf.state_dict(), depths=(2, 2))
+        x = _images(size=63)
+        with torch.no_grad():
+            out = hf(pixel_values=torch.from_numpy(x))
+        hf_pooled = out.pooler_output.squeeze(-1).squeeze(-1).numpy()
+        _, pooled = model.apply({'params': params}, x)
+        np.testing.assert_allclose(np.asarray(pooled), hf_pooled, **TOL)
+
     def test_convnext(self):
         from transformers import ConvNextConfig, ConvNextModel
         hf = ConvNextModel(ConvNextConfig(
@@ -219,6 +235,37 @@ class TestVisionParity:
         _, pooled = model.apply({'params': params}, x)
         np.testing.assert_allclose(np.asarray(pooled),
                                    out.pooler_output.numpy(), **TOL)
+
+
+class TestSpaceToDepthStem:
+    """The packed 4x4/s1 stem is the same function as the canonical 7x7/s2
+    conv — same params, same output, same kernel gradient."""
+
+    def test_matches_canonical_conv_and_grads(self):
+        import jax.numpy as jnp
+
+        from pixelrec_multimodal_tpu.encoders.resnet import ConvBN
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+        mod_std = ConvBN(8, 7, 2, space_to_depth=False)
+        mod_s2d = ConvBN(8, 7, 2, space_to_depth=True)
+        params = mod_std.init(jax.random.PRNGKey(0), x)
+        y_std = mod_std.apply(params, x)
+        y_s2d = mod_s2d.apply(params, x)
+        assert y_s2d.shape == y_std.shape == (2, 8, 8, 8)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_std),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(p, mod):
+            return jnp.sum(mod.apply(p, x) ** 2)
+
+        g_std = jax.grad(loss)(params, mod_std)
+        g_s2d = jax.grad(loss)(params, mod_s2d)
+        np.testing.assert_allclose(
+            np.asarray(g_s2d['params']['conv']['kernel']),
+            np.asarray(g_std['params']['conv']['kernel']),
+            rtol=1e-4, atol=1e-5)
 
 
 class TestDinov2InterpolationMatrix:
