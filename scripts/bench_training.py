@@ -184,7 +184,7 @@ def bench_torch_reference_style() -> float:
     return sps
 
 
-E2E_BATCH = 256
+E2E_BATCH = 256        # --batch N overrides
 E2E_STEPS = 8
 E2E_TEXT_LEN = 64
 
@@ -262,6 +262,9 @@ def bench_e2e(freeze: bool = False) -> float:
 
 
 def main():
+    global E2E_BATCH
+    if '--batch' in sys.argv:
+        E2E_BATCH = int(sys.argv[sys.argv.index('--batch') + 1])
     if '--e2e' in sys.argv:
         ours = bench_e2e(freeze='--freeze' in sys.argv)
         print(json.dumps({
