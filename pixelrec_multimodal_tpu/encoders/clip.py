@@ -68,6 +68,36 @@ class CLIPEncoderLayer(nn.Module):
         return x + h
 
 
+class _PatchEmbedding(nn.Module):
+    """Non-overlapping patch embed as ONE matmul instead of a conv.
+
+    The stride == kernel patchify conv runs 3 input channels on 128 MXU
+    lanes; extracting patches by reshape/transpose and contracting over
+    the fully-packed patch*patch*3 axis is the same set of products
+    reassociated into an MXU-shaped GEMM — measured 1.65x on the v5e at
+    the CLIP 32x32/s32 geometry (scripts/profile_patchify.py: 71.8 ->
+    118.7 TFLOPS; the DINOv2 14x14/s14 geometry measured neutral, so
+    dinov2.py keeps its conv). The PARAM stays the conv-layout
+    [P, P, 3, H] kernel at the same tree path ('patch_embedding/kernel'):
+    checkpoints and the HF converter are unaffected.
+    """
+    features: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C] -> [B, n_patches, features]
+        P = self.patch_size
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (P, P, x.shape[-1], self.features), jnp.float32)
+        B, H, W, C = x.shape
+        gh, gw = H // P, W // P
+        xp = x.reshape(B, gh, P, gw, P, C).transpose(0, 1, 3, 2, 4, 5)
+        xp = xp.reshape(B, gh * gw, P * P * C)
+        w = kernel.reshape(P * P * C, self.features)
+        return xp.astype(self.dtype) @ w.astype(self.dtype)
+
+
 class CLIPVisionTower(nn.Module):
     """CLIP vision transformer; pooled output = post-LN CLS (768)."""
     config: CLIPVisionConfig = CLIPVisionConfig()
@@ -80,11 +110,9 @@ class CLIPVisionTower(nn.Module):
         (last_hidden_state, pooler_output)."""
         c = self.config
         B = pixel_values.shape[0]
-        x = pixel_values.transpose(0, 2, 3, 1)  # NHWC for conv
-        x = nn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
-                    strides=(c.patch_size, c.patch_size), use_bias=False,
-                    dtype=self.dtype, name='patch_embedding')(x)
-        x = x.reshape(B, -1, c.hidden_size)  # (B, num_patches, H)
+        x = pixel_values.transpose(0, 2, 3, 1)  # NHWC
+        x = _PatchEmbedding(c.hidden_size, c.patch_size, dtype=self.dtype,
+                            name='patch_embedding')(x)
 
         cls = self.param('class_embedding', nn.initializers.normal(0.02),
                          (c.hidden_size,))
