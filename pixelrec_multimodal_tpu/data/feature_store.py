@@ -319,20 +319,45 @@ class ItemFeatureStore:
 
     # ---------------------------------------------------------------- device
     def device_tables(self, keys: Optional[List[str]] = None, mesh=None,
-                      shard_items: bool = False) -> Dict[str, 'object']:
+                      shard_items: bool = False, pack: bool = False,
+                      dtype=None) -> Dict[str, 'object']:
         """Put the requested tables on device (jnp arrays).
 
         With a mesh and ``shard_items``, the item axis is sharded over the
         'model' mesh axis; otherwise tables are replicated.
+
+        ``pack=True`` concatenates the float feature tables along the
+        feature axis into ONE ``packed::<a>+<b>+...`` table (layout carried
+        in the key; see training/steps.py gather_feature_kwargs). TPU row
+        gathers are per-row-cost-bound, so one wide gather beats one per
+        table — measured 3x on the gather term of the frozen train step
+        (scripts/profile_frozen_roofline.py). ``dtype`` casts the float
+        tables at upload (bf16 is compile-identical for a bf16-dtype model:
+        its first Dense casts the gathered f32 rows to bf16 anyway).
         """
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import item_table_sharding, replicated
 
         keys = keys if keys is not None else list(self.tables)
+        host = {k: self.tables[k] for k in keys}
+        if pack:
+            float_keys = [k for k in ('vision_emb', 'language_emb',
+                                      'numerical', 'clip_text_emb')
+                          if k in host and host[k].ndim == 2]
+            if len(float_keys) > 1:
+                layout = '+'.join(
+                    f'{k}={host[k].shape[1]}' for k in float_keys)
+                packed = np.concatenate(
+                    [host.pop(k).astype(np.float32) for k in float_keys],
+                    axis=1)
+                host['packed::' + layout] = packed
+
         out = {}
-        for k in keys:
-            arr = jnp.asarray(self.tables[k])
+        for k, arr_np in host.items():
+            arr = jnp.asarray(arr_np)
+            if dtype is not None and arr.dtype == jnp.float32:
+                arr = arr.astype(dtype)
             if mesh is not None:
                 sh = item_table_sharding(mesh) if shard_items else replicated(mesh)
                 arr = jax.device_put(arr, sh)

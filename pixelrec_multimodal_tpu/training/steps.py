@@ -47,6 +47,16 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state)
 
 
+# kwarg name + model-dim attribute for each float feature table
+_FEATURE_TABLE_SPEC = {
+    'vision_emb': ('vision_features', 'vision_feature_dim'),
+    'language_emb': ('language_features', 'language_feature_dim'),
+    'numerical': ('numerical_features', 'num_numerical_features'),
+    'clip_text_emb': ('clip_text_features', 'clip_text_feature_dim'),
+}
+PACKED_PREFIX = 'packed::'
+
+
 def gather_feature_kwargs(model, tables: Dict[str, jnp.ndarray],
                           batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Item-index gathers from the feature tables -> model kwargs.
@@ -57,28 +67,47 @@ def gather_feature_kwargs(model, tables: Dict[str, jnp.ndarray],
     features — the reference's placeholder-tensor semantics for missing
     features (dataset.py:306-322) — so the compiled graph shape always matches
     the model configuration.
+
+    A key of the form ``packed::<name>=<width>+<name>=<width>+...`` holds
+    the listed float tables concatenated along the feature axis; ONE row
+    gather replaces one per table (measured: TPU gathers are
+    per-row-cost-bound, not byte-bound — scripts/profile_frozen_roofline.py),
+    and the slices recover each modality. The layout lives in the KEY
+    (static pytree structure), so the packed table still rides the
+    jit-argument path instead of being baked into the executable as a
+    constant.
     """
     it = batch['item_idx']
     B = it.shape[0]
+
+    kw: Dict[str, jnp.ndarray] = {}
+    packed_key = next((k for k in tables if k.startswith(PACKED_PREFIX)), None)
+    if packed_key is not None:
+        row = jnp.take(tables[packed_key], it, axis=0)
+        off = 0
+        for part in packed_key[len(PACKED_PREFIX):].split('+'):
+            name, _, width = part.partition('=')
+            width = int(width)
+            kwarg, dim_attr = _FEATURE_TABLE_SPEC[name]
+            wanted = (int(getattr(model, dim_attr) or 0) > 0
+                      if name != 'clip_text_emb' else model.contrastive_active)
+            if wanted:
+                kw[kwarg] = jax.lax.slice_in_dim(row, off, off + width, axis=1)
+            off += width
 
     def take_or_zeros(name, dim):
         if name in tables:
             return jnp.take(tables[name], it, axis=0)
         return jnp.zeros((B, dim), jnp.float32)
 
-    kw: Dict[str, jnp.ndarray] = {}
-    if model.vision_feature_dim:
-        kw['vision_features'] = take_or_zeros('vision_emb',
-                                              model.vision_feature_dim)
-    if model.language_feature_dim:
-        kw['language_features'] = take_or_zeros('language_emb',
-                                                model.language_feature_dim)
-    if model.num_numerical_features > 0:
-        kw['numerical_features'] = take_or_zeros('numerical',
-                                                 model.num_numerical_features)
-    if model.contrastive_active:
-        kw['clip_text_features'] = take_or_zeros('clip_text_emb',
-                                                 model.clip_text_feature_dim)
+    for name, (kwarg, dim_attr) in _FEATURE_TABLE_SPEC.items():
+        if kwarg in kw:
+            continue
+        dim = int(getattr(model, dim_attr) or 0)
+        needed = (dim > 0 if name != 'clip_text_emb'
+                  else model.contrastive_active)
+        if needed:
+            kw[kwarg] = take_or_zeros(name, dim)
     return kw
 
 
@@ -226,6 +255,11 @@ def make_step_fns(model, tables: Dict[str, jnp.ndarray],
            lambda state, batches, rng: jit_train_epoch(state, tables,
                                                        batches, rng),
            lambda state, batches: jit_eval_epoch(state, tables, batches))
+    # The raw jitted fns (tables as explicit args) for profilers that need
+    # .lower().compile().cost_analysis() without baking tables as constants.
+    for wrapper, jitted in zip(fns, (jit_train_step, jit_eval_step,
+                                     jit_train_epoch, jit_eval_epoch)):
+        wrapper.jitted = jitted
     return fns[:2] if not return_epoch_fns else fns
 
 
