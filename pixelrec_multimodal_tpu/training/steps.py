@@ -47,6 +47,21 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt_state)
 
 
+def dropout_key(seed: int):
+    """Dropout PRNG key (threefry).
+
+    threefry mask generation measures 32% of the frozen train epoch on a
+    v5e (scripts/profile_frozen_roofline.py). rbg keys were measured as
+    the obvious lever and are a recorded DEAD END on this backend: the
+    same rbg epoch program runs bimodally — 87-91 ms in some processes,
+    480-3900 ms in others (5 runs, identical HLO; threefry stays at
+    ~126 ms throughout, so it is not tunnel load) — i.e. the rbg
+    primitive's runtime performance is not dependable here. Revisit if
+    the backend's rbg lowering stabilizes.
+    """
+    return jax.random.PRNGKey(seed)
+
+
 # kwarg name + model-dim attribute for each float feature table
 _FEATURE_TABLE_SPEC = {
     'vision_emb': ('vision_features', 'vision_feature_dim'),

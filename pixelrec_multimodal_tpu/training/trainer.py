@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.checkpointing import load_checkpoint, save_checkpoint
@@ -25,7 +26,7 @@ from .optimizers import (
     get_learning_rate,
     set_learning_rate,
 )
-from .steps import TrainState, init_train_state, make_step_fns
+from .steps import TrainState, dropout_key, init_train_state, make_step_fns
 
 _METRIC_KEYS = ('total_loss', 'bce_loss', 'contrastive_loss', 'accuracy',
                 'precision', 'recall', 'f1_score')
@@ -120,7 +121,14 @@ class Trainer:
                 factor=lr_scheduler_factor, min_lr=lr_scheduler_min_lr,
                 total_epochs=epochs)
 
-        tables = train_dataset.feature_store.device_tables(mesh=self.mesh)
+        # Packed float tables (one wide row gather per batch) + bf16 upload
+        # for a bf16 model: both value-identical in the compiled step
+        # (tests/unit/test_packed_tables.py) and together the frozen path's
+        # measured gather lever (scripts/profile_frozen_roofline.py).
+        table_dtype = (self.model.dtype
+                       if self.model.dtype == jnp.bfloat16 else None)
+        tables = train_dataset.feature_store.device_tables(
+            mesh=self.mesh, pack=True, dtype=table_dtype)
         cw = bw = None
         if self.config is not None:
             cw = self.config.training.contrastive_weight
@@ -137,7 +145,7 @@ class Trainer:
 
         train_losses: List[float] = []
         val_losses: List[float] = []
-        dropout_rng = jax.random.PRNGKey(self.seed + 1)
+        dropout_rng = dropout_key(self.seed + 1)
 
         for epoch_num in range(self.epoch, epochs):
             self.epoch = epoch_num

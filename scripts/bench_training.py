@@ -61,7 +61,7 @@ def bench_ours() -> float:
     from pixelrec_multimodal_tpu.models.multimodal import MultimodalRecommender
     from pixelrec_multimodal_tpu.training.optimizers import build_optimizer
     from pixelrec_multimodal_tpu.training.steps import (
-        init_train_state, make_step_fns)
+        dropout_key, init_train_state, make_step_fns)
 
     log(f"devices: {jax.devices()}")
     model = MultimodalRecommender(
@@ -73,14 +73,18 @@ def bench_ours() -> float:
         dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
+    # Production table layout (trainer.py train()): float tables packed into
+    # one wide-row gather table, uploaded at the model's bf16 compute dtype
+    # (wall-neutral, halves table HBM residency; rbg dropout keys measured
+    # bimodal/unshippable — scripts/profile_frozen_roofline.py).
+    packed = np.concatenate([
+        rng.standard_normal((N_ITEMS, VISION_DIM), np.float32),
+        rng.standard_normal((N_ITEMS, LANG_DIM), np.float32),
+        rng.standard_normal((N_ITEMS, NUM_FEAT), np.float32)], axis=1)
     tables = {
         'tag_idx': jnp.asarray(rng.integers(0, N_TAGS, N_ITEMS), jnp.int32),
-        'numerical': jnp.asarray(
-            rng.standard_normal((N_ITEMS, NUM_FEAT)), jnp.float32),
-        'vision_emb': jnp.asarray(
-            rng.standard_normal((N_ITEMS, VISION_DIM)), jnp.float32),
-        'language_emb': jnp.asarray(
-            rng.standard_normal((N_ITEMS, LANG_DIM)), jnp.float32),
+        f'packed::vision_emb={VISION_DIM}+language_emb={LANG_DIM}'
+        f'+numerical={NUM_FEAT}': jnp.asarray(packed, jnp.bfloat16),
     }
     tx = build_optimizer('adamw', 1e-3, 0.01, gradient_clip=1.0)
     state = init_train_state(model, tx, jax.random.PRNGKey(0))
@@ -89,7 +93,7 @@ def bench_ours() -> float:
 
     batches = {k: jnp.asarray(v)
                for k, v in _synthetic_batches(NUM_BATCHES, OUR_BATCH).items()}
-    key = jax.random.PRNGKey(1)
+    key = dropout_key(1)
 
     log("compiling whole-epoch train scan...")
     t0 = time.time()

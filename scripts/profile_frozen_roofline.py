@@ -226,48 +226,41 @@ def main():
     _ = float(out)
     report('opt_only', (time.time() - t0) / REPS, fl, by)
 
-    # ---------------- experiment: rbg dropout keys (threefry is the
-    # measured 32% term; flax Dropout draws through whatever impl the
-    # key carries, so the lever is one key-construction change)
-    key_rbg = jax.random.key(1, impl='rbg')
-    _, _, st6, te6, _ = build(0.1, True)
-    st6, m = te6(st6, batches, key_rbg)
-    _ = float(np.asarray(m['total_loss'])[0])
-    t0 = time.time()
-    for r in range(REPS):
-        st6, m = te6(st6, batches, jax.random.fold_in(key_rbg, r))
-    _ = float(np.asarray(m['total_loss'])[0])
-    report('full_rbg', (time.time() - t0) / REPS, None, None)
-
-    # ---------------- experiment: bf16 feature tables (for a bf16 model
-    # the compiled math is bit-identical — flax casts the gathered f32
-    # row to bf16 at the projection anyway — but gather bytes halve)
-    tables_bf16 = {k: (v.astype(jnp.bfloat16)
-                       if v.dtype == jnp.float32 else v)
-                   for k, v in tables.items()}
-    model7, _, st7, _, _ = build(0.1, True)
-    from pixelrec_multimodal_tpu.training.steps import make_step_fns as _msf7
-    _, _, te7, _ = _msf7(model7, tables_bf16, use_contrastive=False,
-                         return_epoch_fns=True)
-    st7, m = te7(st7, batches, key)
-    _ = float(np.asarray(m['total_loss'])[0])
-    t0 = time.time()
-    for r in range(REPS):
-        st7, m = te7(st7, batches, jax.random.fold_in(key, r))
-    _ = float(np.asarray(m['total_loss'])[0])
-    report('full_bf16tab', (time.time() - t0) / REPS, None, None)
-
-    # ---------------- experiment: both levers together
-    _, _, st8, _, _ = build(0.1, True)
-    _, _, te8, _ = _msf7(model7, tables_bf16, use_contrastive=False,
-                         return_epoch_fns=True)
-    st8, m = te8(st8, batches, key_rbg)
-    _ = float(np.asarray(m['total_loss'])[0])
-    t0 = time.time()
-    for r in range(REPS):
-        st8, m = te8(st8, batches, jax.random.fold_in(key_rbg, r))
-    _ = float(np.asarray(m['total_loss'])[0])
-    report('full_both', (time.time() - t0) / REPS, None, None)
+    # ---------------- lever variants (measured 2026-08-18; the last one is
+    # the SHIPPED production configuration, trainer.py train()):
+    #   packed table (one wide gather)  126.2 -> 123.2 ms
+    #   packed bf16                     125.3 ms (neutral wall; halves
+    #                                   table HBM residency)
+    #   rbg dropout keys: measured DEAD END — bimodal runtime (87-91 ms in
+    #   two compiles within one process, 482/509/3918 ms and 1.7-1.9M
+    #   samples/s bench runs in three other processes, identical HLO;
+    #   threefry holds ~126 ms throughout, so not tunnel load). The 32%
+    #   dropout term stands as structural until the backend's rbg lowering
+    #   is dependable; see training/steps.py dropout_key.
+    from pixelrec_multimodal_tpu.training.steps import (
+        dropout_key, make_step_fns as _msf)
+    key_prod = dropout_key(1)
+    pk = (f'packed::vision_emb={VISION_DIM}+language_emb={LANG_DIM}'
+          f'+numerical={NUM_FEAT}')
+    packed = jnp.concatenate(
+        [tables['vision_emb'], tables['language_emb'],
+         tables['numerical'].astype(jnp.float32)], axis=1)
+    for name, tab_variant, k in (
+            ('full_packed',
+             {'tag_idx': tables['tag_idx'], pk: packed}, key),
+            ('full_production',
+             {'tag_idx': tables['tag_idx'],
+              pk: packed.astype(jnp.bfloat16)}, key_prod)):
+        model9, _, st9, _, _ = build(0.1, True)
+        _, _, te9, _ = _msf(model9, tab_variant, use_contrastive=False,
+                            return_epoch_fns=True)
+        st9, m = te9(st9, batches, k)
+        _ = float(np.asarray(m['total_loss'])[0])
+        t0 = time.time()
+        for r in range(REPS):
+            st9, m = te9(st9, batches, jax.random.fold_in(k, r))
+        _ = float(np.asarray(m['total_loss'])[0])
+        report(name, (time.time() - t0) / REPS, None, None)
 
     # ---------------- decomposition
     full_s = results['full']['seconds_per_epoch']
