@@ -24,13 +24,21 @@ class Recommender:
     def __init__(self, model, variables: Dict, dataset,
                  item_chunk: Optional[int] = None,
                  user_chunk: Optional[int] = None,
-                 mesh=None, precision: str = 'bf16'):
+                 mesh=None, precision: str = 'bf16',
+                 cascade_candidates: Optional[int] = None):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,
                                     item_chunk=item_chunk,
                                     user_chunk=user_chunk, mesh=mesh,
                                     precision=precision)
+        # Opt-in two-stage cascade for attention fusion (screen + exact
+        # rescore; scorer.top_k_cascade). Calibrate the candidate count
+        # with CatalogScorer.calibrate_cascade before trusting recall.
+        if cascade_candidates is not None and model.fusion_type != 'attention':
+            raise ValueError('cascade_candidates applies to attention '
+                             f'fusion only (got {model.fusion_type!r})')
+        self.cascade_candidates = cascade_candidates
         self._user_classes = set(
             map(str, getattr(dataset.user_encoder, 'classes_', [])))
         self._item_classes = set(
@@ -72,8 +80,13 @@ class Recommender:
         seen_mask = None
         if filter_seen:
             seen_mask = self._seen_mask(np.asarray([uidx]))
-        values, idx = self.scorer.top_k(np.asarray([uidx]), top_k,
-                                        seen_mask=seen_mask)
+        if self.cascade_candidates is not None:
+            values, idx = self.scorer.top_k_cascade(
+                np.asarray([uidx]), top_k,
+                n_candidates=self.cascade_candidates, seen_mask=seen_mask)
+        else:
+            values, idx = self.scorer.top_k(np.asarray([uidx]), top_k,
+                                            seen_mask=seen_mask)
         out = []
         for v, i in zip(values[0], idx[0]):
             if i < 0:
@@ -192,7 +205,12 @@ class Recommender:
             return out
         uidx = self.dataset.user_encoder.transform(known).astype(np.int32)
         seen_mask = self._seen_mask(uidx) if filter_seen else None
-        values, idx = self.scorer.top_k(uidx, top_k, seen_mask=seen_mask)
+        if self.cascade_candidates is not None:
+            values, idx = self.scorer.top_k_cascade(
+                uidx, top_k, n_candidates=self.cascade_candidates,
+                seen_mask=seen_mask)
+        else:
+            values, idx = self.scorer.top_k(uidx, top_k, seen_mask=seen_mask)
         item_classes = np.asarray(self.dataset.item_encoder.classes_).astype(str)
         for u, vs, ids in zip(known, values, idx):
             out[u] = [(str(item_classes[i]), float(v))

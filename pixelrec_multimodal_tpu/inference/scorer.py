@@ -135,6 +135,12 @@ class CatalogScorer:
             # item_chunk % tile_items == 0).
             tile_items = min(256, self.item_chunk)
         self.tile_items = tile_items if tile_items else 128
+        # Cascade screen kernel tiles (attention only): the screen kernel
+        # carries one token's machinery (~gated-kernel VPU weight), so its
+        # user tiles run wider than the exact attention kernels'.
+        self.screen_tile_users = 32
+        self.screen_tile_items = 128
+        self._screen_tail: Optional[jnp.ndarray] = None
         self._sharded_fns: Dict = {}
         if mesh is not None:
             # Model weights replicate over the mesh (they're small); without
@@ -454,8 +460,8 @@ class CatalogScorer:
             for a in user_side)
 
     def _fast_pair_scores(self, user_side_p: Tuple[jnp.ndarray, ...],
-                          chunk: Tuple[jnp.ndarray, ...], B: int
-                          ) -> jnp.ndarray:
+                          chunk: Tuple[jnp.ndarray, ...], B: int,
+                          screen: bool = False) -> jnp.ndarray:
         """[B, C] pair scores for one item chunk through the per-fusion
         fused kernel (Pallas on TPU, identical-math XLA elsewhere).
 
@@ -463,8 +469,17 @@ class CatalogScorer:
         Measured on v5e (65k catalog, [512,256,128] head, concat):
         64x128 best (sweep history in git); gated 32x128, attention 8x128
         (ops docstrings carry the VMEM accounting).
+
+        screen=True scores through the cascade SCREEN kernel (attention
+        only; ops/attention_cascade.py): the chunk tuple then carries the
+        per-item screen tail as its last element.
         """
+        from ..ops.attention_cascade import (
+            pallas_attention_screen_scores,
+            xla_attention_screen_scores,
+        )
         from ..ops.attention_scorer import (
+            _pad_lanes,
             pallas_attention_scores,
             unpack_attention_chunk,
             xla_attention_scores,
@@ -477,6 +492,19 @@ class CatalogScorer:
         )
         fusion = self._head['fusion']
         TB, TC = self.tile_users, self.tile_items
+        if screen:
+            *tabs, tail = chunk
+            tabs = tuple(tabs)
+            if self._attn_packed:
+                tabs = unpack_attention_chunk(self._head, tabs)
+                tail = _pad_lanes(tail, self._head['dp'])
+            if self._use_pallas:
+                return pallas_attention_screen_scores(
+                    self._head, user_side_p, tabs, tail,
+                    tile_users=self.screen_tile_users,
+                    tile_items=self.screen_tile_items)[:B]
+            return xla_attention_screen_scores(
+                self._head, tuple(a[:B] for a in user_side_p), tabs, tail)
         if fusion == 'attention' and self._attn_packed:
             chunk = unpack_attention_chunk(self._head, chunk)
         if self._use_pallas:
@@ -502,7 +530,8 @@ class CatalogScorer:
 
     def _fast_topk_body(self, variables, item_fast: Tuple[jnp.ndarray, ...],
                         user_idx: jnp.ndarray, seen_items: jnp.ndarray,
-                        k: int, base) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        k: int, base, screen: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Streaming top-k over a (slice of the) catalog through the fused
         pairwise-MLP kernel. item_fast: per-item precomputed tables (concat:
         first-layer part; gated: + gate logits), each [n_local, ...];
@@ -523,7 +552,7 @@ class CatalogScorer:
 
         def body(carry, xs):
             chunk, off = xs
-            s = self._fast_pair_scores(user_side_p, chunk, B)
+            s = self._fast_pair_scores(user_side_p, chunk, B, screen=screen)
             cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids
             invalid = cidx[None, :] >= self.n_items       # padding
             if seen_items.shape[1] > 0:
@@ -543,6 +572,15 @@ class CatalogScorer:
                         k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self._fast_topk_body(variables, item_fast, user_idx,
                                     seen_items, k, jnp.int32(0))
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _topk_scan_screen(self, variables, item_fast: Tuple[jnp.ndarray, ...],
+                          user_idx: jnp.ndarray, seen_items: jnp.ndarray,
+                          k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming top-k through the cascade screen kernel (item_fast
+        carries the screen tail as its last element)."""
+        return self._fast_topk_body(variables, item_fast, user_idx,
+                                    seen_items, k, jnp.int32(0), screen=True)
 
     # --------------------------------------------------------- sharded top-k
     def _sharded_topk(self, k: int, fast: bool):
@@ -564,10 +602,16 @@ class CatalogScorer:
         from jax import shard_map
 
         n_local = self.n_pad // self._model_size
-        body = self._fast_topk_body if fast else self._generic_topk_body
-        mask_spec = P(DATA_AXIS) if fast else P(DATA_AXIS, MODEL_AXIS)
-        item_spec = (tuple(P(MODEL_AXIS) for _ in self._item_fast)
-                     if fast else P(MODEL_AXIS))
+        if fast == 'screen':
+            body = partial(self._fast_topk_body, screen=True)
+            item_spec = tuple(P(MODEL_AXIS)
+                              for _ in range(len(self._item_fast) + 1))
+            mask_spec = P(DATA_AXIS)
+        else:
+            body = self._fast_topk_body if fast else self._generic_topk_body
+            mask_spec = P(DATA_AXIS) if fast else P(DATA_AXIS, MODEL_AXIS)
+            item_spec = (tuple(P(MODEL_AXIS) for _ in self._item_fast)
+                         if fast else P(MODEL_AXIS))
 
         def local_fn(variables, item_table, user_idx, mask):
             base = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32) * n_local
@@ -626,16 +670,23 @@ class CatalogScorer:
                 return call()
             except Exception as e:  # jax wraps XlaRuntimeError variously
                 msg = str(e).lower()
-                if 'vmem' not in msg or self.tile_users <= 8:
+                if 'vmem' not in msg or (self.tile_users <= 8
+                                         and self.screen_tile_users <= 8):
                     raise
-                self.tile_users //= 2
+                # Halve both the exact and the screen user tiles (floor 8
+                # each): the failing call may be either kernel and the
+                # wrapped error does not say which.
+                self.tile_users = max(8, self.tile_users // 2)
+                self.screen_tile_users = max(8, self.screen_tile_users // 2)
                 # stderr: bench.py's stdout contract is exactly ONE JSON line.
                 print(f"CatalogScorer: scoped-VMEM overflow; retrying "
-                      f"with tile_users={self.tile_users}", file=sys.stderr)
+                      f"with tile_users={self.tile_users} "
+                      f"(screen {self.screen_tile_users})", file=sys.stderr)
                 # self is a static jit arg (hashed by id), so cached
                 # traces with the old tile geometry must be dropped.
                 for fn in (type(self)._topk_scan_fast,
-                           type(self)._score_full_fast):
+                           type(self)._score_full_fast,
+                           type(self)._topk_scan_screen):
                     try:
                         fn.clear_cache()
                     except AttributeError:
@@ -644,12 +695,14 @@ class CatalogScorer:
 
     # --------------------------------------------------------------- user API
     def top_k(self, user_indices: np.ndarray, k: int,
-              seen_mask: Optional[np.ndarray] = None
-              ) -> Tuple[np.ndarray, np.ndarray]:
+              seen_mask: Optional[np.ndarray] = None,
+              _screen: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k items for each user.
 
         seen_mask: optional [B, n_items] bool (True = exclude). Returns
         (scores [B, k], item positions [B, k]; -1 where fewer than k valid).
+        _screen (private; used by top_k_cascade): score through the cascade
+        screen kernel instead of the exact kernel.
         """
         user_indices = np.asarray(user_indices, np.int32)
         # Pick the smallest block class that covers the request (class
@@ -682,15 +735,21 @@ class CatalogScorer:
                         seen[bi, :len(r)] = r
                 else:
                     seen = np.zeros((Bp, 0), dtype=np.int32)
+                if _screen:
+                    tables = self._item_fast + (self._screen_tail,)
+                    mode, scan = 'screen', self._topk_scan_screen
+                else:
+                    tables, mode, scan = (self._item_fast, True,
+                                          self._topk_scan_fast)
                 if self.mesh is not None:
                     v, i = self._with_tile_backoff(
-                        lambda: self._sharded_topk(k, fast=True)(
-                            self.variables, self._item_fast,
+                        lambda: self._sharded_topk(k, fast=mode)(
+                            self.variables, tables,
                             jnp.asarray(users_p), jnp.asarray(seen)))
                 else:
                     v, i = self._with_tile_backoff(
-                        lambda: self._topk_scan_fast(
-                            self.variables, self._item_fast,
+                        lambda: scan(
+                            self.variables, tables,
                             jnp.asarray(users_p), jnp.asarray(seen), k))
             else:
                 invalid = np.broadcast_to(self._pad_mask,
@@ -711,6 +770,172 @@ class CatalogScorer:
             out_v.append(v)
             out_i.append(i)
         return np.concatenate(out_v), np.concatenate(out_i)
+
+    # ------------------------------------------------- two-stage cascade
+    def _ensure_screen(self) -> None:
+        """Build (once) the per-item screen tail table for the cascade
+        (ops/attention_cascade.compute_screen_tail), chunked like
+        _build_item_fast so packed tables unpack one chunk at a time."""
+        if self._screen_tail is not None:
+            return
+        if self._head is None or self._head['fusion'] != 'attention':
+            raise ValueError(
+                'cascade screening requires the fused attention head '
+                f'(fusion_type={self.model.fusion_type!r}, fast_path head '
+                f"{'missing' if self._head is None else 'present'})")
+        from ..ops.attention_cascade import compute_screen_tail
+        from ..ops.attention_scorer import unpack_attention_chunk
+        head = self._head
+        n_pad = self.n_pad
+        chunk = min(self._TOWER_BUILD_CHUNK, n_pad)
+        width = head['d'] if self._attn_packed else head['dp']
+
+        def tail_of(tabs):
+            if self._attn_packed:
+                tabs = unpack_attention_chunk(head, tabs)
+            return compute_screen_tail(head, tabs)[:, :width]
+
+        if chunk == n_pad:
+            tail = jax.jit(tail_of)(self._item_fast)
+        else:
+            compute_c = jax.jit(tail_of)
+
+            @partial(jax.jit, donate_argnums=0)
+            def write(out, part, start):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, part, start, axis=0)
+
+            tail = jnp.zeros((n_pad, width), jnp.float32)
+            pos = 0
+            while pos < n_pad:
+                start = min(pos, n_pad - chunk)
+                part = compute_c(tuple(a[start:start + chunk]
+                                       for a in self._item_fast))
+                tail = write(tail, part, jnp.int32(start))
+                pos = start + chunk
+        if self.mesh is not None:
+            tail = jax.device_put(tail, item_table_sharding(self.mesh))
+        self._screen_tail = tail
+
+    @partial(jax.jit, static_argnums=0)
+    def _rescore_attention(self, variables, item_fast,
+                           user_idx: jnp.ndarray,
+                           cand_idx: jnp.ndarray) -> jnp.ndarray:
+        """[B] users x [B, C] candidate ids -> EXACT attention scores.
+
+        Gathers the per-item attention tables at the candidate ids and
+        runs the batched exact math
+        (ops/attention_cascade.xla_attention_candidate_scores) over
+        64-user sub-blocks inside one compiled scan — bounds the
+        [SB, C, T, H, dp] transients while keeping a single dispatch.
+        Under a mesh the gathers ride the sharded tables via GSPMD, like
+        the concat/gated candidate path.
+        """
+        from ..ops.attention_cascade import (
+            unpack_candidate_rows,
+            xla_attention_candidate_scores,
+        )
+        from ..ops.attention_scorer import compute_user_side_attention
+        head = self._head
+        B, C = cand_idx.shape
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        user_side = compute_user_side_attention(head, user_emb)[:5]
+        SB = min(B, 64)
+        nb = B // SB
+        us = tuple(a.reshape((nb, SB) + a.shape[1:]) for a in user_side)
+        ci = cand_idx.reshape(nb, SB, C)
+        tabs = item_fast[:5]
+
+        def body(_, xs):
+            us_b, ci_b = xs
+            rows = tuple(jnp.take(t, ci_b, axis=0) for t in tabs)
+            if self._attn_packed:
+                rows = unpack_candidate_rows(head, rows)
+            return None, xla_attention_candidate_scores(head, us_b, rows)
+
+        _, out = jax.lax.scan(body, None, (us, ci))
+        return out.reshape(B, C)
+
+    def _rescore_blocks(self, user_indices: np.ndarray,
+                        cand_idx: np.ndarray) -> np.ndarray:
+        """Exact rescoring of per-user candidate lists in block-class
+        user chunks (invalid ids < 0 are gathered at 0; callers mask)."""
+        chunk = self.user_chunk
+        for c in self._BLOCK_CLASSES:
+            if c >= len(user_indices) and c <= self.user_chunk:
+                chunk = c
+                break
+        out = []
+        for s in range(0, len(user_indices), chunk):
+            users = user_indices[s:s + chunk]
+            B = len(users)
+            users_p = np.concatenate(
+                [users, np.full(chunk - B, users[0], np.int32)])
+            cands = np.clip(cand_idx[s:s + chunk], 0, None)
+            cands_p = np.concatenate(
+                [cands, np.zeros((chunk - B, cands.shape[1]), np.int32)])
+            out.append(np.asarray(self._rescore_attention(
+                self.variables, self._item_fast, jnp.asarray(users_p),
+                jnp.asarray(cands_p)))[:B])
+        return np.concatenate(out)
+
+    def top_k_cascade(self, user_indices: np.ndarray, k: int,
+                      n_candidates: Optional[int] = None,
+                      seen_mask: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Two-stage top-k for attention fusion: screen the catalog with
+        the cheap token-0-exact kernel, then EXACT-rescore the top
+        ``n_candidates`` per user and return their exact top-k.
+
+        Returned scores are exact; the result equals the exact full-scan
+        ``top_k`` whenever the screen's recall@n_candidates covers the
+        true top-k — measure it with ``calibrate_cascade`` and pick
+        n_candidates with a margin (default 8*k, floor 256). Opt-in: the
+        default ``top_k`` path stays the exact full scan
+        (ops/attention_cascade.py module docstring for the design).
+        """
+        self._ensure_screen()
+        user_indices = np.asarray(user_indices, np.int32)
+        if n_candidates is None:
+            n_candidates = max(8 * k, 256)
+        n_candidates = min(n_candidates, self.n_items)
+        _, si = self.top_k(user_indices, n_candidates, seen_mask,
+                           _screen=True)
+        scores = self._rescore_blocks(user_indices, si)
+        scores = np.where(si < 0, float(NEG_INF), scores).astype(np.float32)
+        pos = np.argsort(-scores, kind='stable', axis=1)[:, :k]
+        v = np.take_along_axis(scores, pos, axis=1)
+        i = np.take_along_axis(si, pos, axis=1).copy()
+        i[v <= float(NEG_INF) / 2] = -1
+        return v, i
+
+    def calibrate_cascade(self, user_indices: np.ndarray, k: int,
+                          candidate_grid=(128, 256, 512, 1024),
+                          seen_mask: Optional[np.ndarray] = None
+                          ) -> Dict[int, float]:
+        """Measured screen recall on a user sample: the fraction of each
+        user's EXACT top-k recovered in the screen's top-C, per C in
+        ``candidate_grid``. Run this before enabling the cascade and pick
+        the smallest C with recall 1.0 (plus a safety factor) — the
+        cascade's exactness guarantee is conditional on screen recall,
+        and this is the measurement that grounds it."""
+        self._ensure_screen()
+        user_indices = np.asarray(user_indices, np.int32)
+        grid = sorted({min(int(c), self.n_items) for c in candidate_grid})
+        _, ei = self.top_k(user_indices, k, seen_mask)
+        _, si = self.top_k(user_indices, grid[-1], seen_mask, _screen=True)
+        out = {}
+        for cc in grid:
+            hits = total = 0
+            for b in range(len(ei)):
+                exact = set(ei[b][ei[b] >= 0].tolist())
+                if not exact:
+                    continue
+                scr = set(si[b, :cc][si[b, :cc] >= 0].tolist())
+                hits += len(exact & scr)
+                total += len(exact)
+            out[cc] = hits / max(total, 1)
+        return out
 
     def score_candidates(self, user_indices: np.ndarray,
                          candidate_idx: np.ndarray,
@@ -748,6 +973,13 @@ class CatalogScorer:
                 # rides the sharded tables instead of re-running the
                 # item tower per candidate.
                 v = np.asarray(self._score_candidates_fast(
+                    self.variables, self._item_fast,
+                    jnp.asarray(users_p), jnp.asarray(cands_p)))[:B]
+            elif self._head is not None:
+                # Attention: gather the precomputed per-item tables and
+                # run the batched exact math (the cascade rescorer) —
+                # replaces the generic tower re-run per candidate.
+                v = np.asarray(self._rescore_attention(
                     self.variables, self._item_fast,
                     jnp.asarray(users_p), jnp.asarray(cands_p)))[:B]
             else:

@@ -34,7 +34,8 @@ from evaluate import find_encoders, find_model_checkpoint  # noqa: E402
 
 
 def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
-                        mesh=None, precision: str = 'bf16'):
+                        mesh=None, precision: str = 'bf16',
+                        cascade: int = None):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -80,7 +81,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
     if 'batch_stats' in restored['state']:
         variables['batch_stats'] = restored['state']['batch_stats']
     return (Recommender(model, variables, dataset, mesh=mesh,
-                        precision=precision), dataset)
+                        precision=precision,
+                        cascade_candidates=cascade), dataset)
 
 
 def resolve_users(args, dataset) -> list:
@@ -135,6 +137,14 @@ def main(cli_args=None):
                         help='Scoring precision. int8 quantizes the fused '
                              'concat/gated head (calibrated); scores '
                              'are approximate — see BASELINE.md.')
+    parser.add_argument('--cascade', type=int, default=None, metavar='C',
+                        help='Attention fusion only: two-stage cascaded '
+                             'top-K — screen the catalog with the cheap '
+                             'token-0-exact kernel, exact-rescore the top '
+                             'C candidates per user. Returned scores are '
+                             'exact; top-K equals the full scan whenever '
+                             'screen recall@C covers it (calibrate with '
+                             'CatalogScorer.calibrate_cascade).')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "
@@ -155,7 +165,8 @@ def main(cli_args=None):
     config = Config.from_yaml(args.config)
     recommender, dataset = load_model_and_data(config, args.checkpoint_name,
                                                mesh=mesh,
-                                               precision=args.precision)
+                                               precision=args.precision,
+                                               cascade=args.cascade)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

@@ -252,6 +252,21 @@ def test_generate_recommendations(workspace):
             assert {'item_id', 'score'} <= set(entry)
 
 
+def test_generate_cascade_requires_attention(workspace):
+    """--cascade plumbs through to the Recommender and is rejected for
+    non-attention fusion with the clear error (the cascade's screen stage
+    only exists for the attention head; see ops/attention_cascade.py)."""
+    root, cfg = workspace
+    import generate_recommendations
+    with pytest.raises(ValueError, match='attention'):
+        generate_recommendations.main([
+            '--config', cfg,
+            '--sample_users', '2',
+            '--cascade', '64',
+            '--output', str(root / 'results/recs_cascade.json'),
+        ])
+
+
 def test_extract_encoders(workspace):
     root, cfg = workspace
     import extract_encoders

@@ -1,0 +1,244 @@
+"""Tests for the two-stage cascaded attention scoring
+(ops/attention_cascade + CatalogScorer.top_k_cascade).
+
+The screen stage is an approximation (exact token-0 attention +
+per-item frozen tails), so its contract is measured recall, not
+equality; the rescore stage and the end-to-end cascade at full candidate
+coverage must match the exact path.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
+from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+from pixelrec_multimodal_tpu.ops.attention_cascade import (
+    compute_screen_tail,
+    pallas_attention_screen_scores,
+    unpack_candidate_rows,
+    xla_attention_candidate_scores,
+    xla_attention_screen_scores,
+)
+from pixelrec_multimodal_tpu.ops.attention_scorer import (
+    LN_EPS,
+    _qkvo,
+    build_attention_head,
+    compute_item_side_attention,
+    compute_user_side_attention,
+    pack_attention_tables,
+    xla_attention_scores,
+)
+
+from .test_attention_scorer import (
+    N_ITEMS,
+    N_TAGS,
+    init_variables,
+    make_model,
+    sides,
+)
+
+
+def make_store(seed=4):
+    rng = np.random.default_rng(seed)
+    store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+    store.tables['tag_idx'] = (np.arange(N_ITEMS) % N_TAGS).astype(np.int32)
+    store.tables['numerical'] = rng.standard_normal(
+        (N_ITEMS, 2)).astype(np.float32)
+    store.tables['vision_emb'] = rng.standard_normal(
+        (N_ITEMS, 6)).astype(np.float32)
+    store.tables['language_emb'] = rng.standard_normal(
+        (N_ITEMS, 5)).astype(np.float32)
+    return store
+
+
+class TestScreenMath:
+    def test_tail_matches_token_level_recompute(self):
+        """The tail table equals an independent token-level computation of
+        the item-only self-attention outputs (e_u -> 0 limit)."""
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, _, _ = sides(model, variables, B=4, C=12)
+        item_side = compute_item_side_attention(head, item_feats)
+        tail = compute_screen_tail(head, item_side)
+
+        N, Mi, d = item_feats.shape
+        H, dh = head['H'], head['dh']
+        q, k, vo = _qkvo(head, item_feats)
+        qh = q.reshape(N, Mi, H, dh)
+        kh = k.reshape(N, Mi, H, dh)
+        sii = jnp.einsum('nthd,nkhd->nhtk', qh, kh)
+        w = jax.nn.softmax(sii, axis=-1)
+        attn = jnp.einsum('nhtk,nkhd->ntd', w, vo)
+        y = item_feats.astype(jnp.float32) + head['b_out'] + attn
+        mu = jnp.mean(y, -1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), -1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + LN_EPS)
+        ref = jnp.sum(yn, axis=1) * (head['ln_scale'] / (Mi + 1))
+        np.testing.assert_allclose(np.asarray(tail[:, :d]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize('heads', [1, 2])
+    def test_pallas_screen_matches_xla(self, heads):
+        model = make_model(heads=heads)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        tail = compute_screen_tail(head, item_side)
+        ref = xla_attention_screen_scores(head, user_side, item_side, tail)
+        out = pallas_attention_screen_scores(
+            head, user_side, item_side, tail, tile_users=16, tile_items=128,
+            compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_screen_correlates_with_exact(self):
+        """The screen drops only the user's influence on item tokens —
+        on a trained-from-init model it must still rank like the exact
+        scores (this is the property the cascade's recall rests on)."""
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        tail = compute_screen_tail(head, item_side)
+        scr = np.asarray(
+            xla_attention_screen_scores(head, user_side, item_side, tail))
+        ex = np.asarray(xla_attention_scores(head, user_side, item_side))
+        c = np.corrcoef(scr.ravel(), ex.ravel())[0, 1]
+        assert c > 0.9, c
+
+    def test_candidate_scores_match_exact_columns(self):
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        ex = np.asarray(xla_attention_scores(head, user_side, item_side))
+        rng = np.random.default_rng(0)
+        cand = jnp.asarray(rng.integers(0, 128, (16, 9)).astype(np.int32))
+        cand_side = tuple(jnp.take(a, cand, axis=0) for a in item_side[:5])
+        got = xla_attention_candidate_scores(head, user_side, cand_side)
+        want = np.take_along_axis(ex, np.asarray(cand), axis=1)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_unpack_candidate_rows_roundtrip(self):
+        """Packed gather -> unpack equals gathering the padded tables."""
+        model = make_model(heads=2, emb=8)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        # Force a pack by pretending d < dp (emb 8 pads to 128 lanes).
+        assert head['d'] < head['dp']
+        item_feats, _, _ = sides(model, variables, B=4, C=12)
+        item_side = compute_item_side_attention(head, item_feats)
+        packed = pack_attention_tables(head, item_side)
+        rng = np.random.default_rng(1)
+        cand = jnp.asarray(rng.integers(0, 12, (3, 5)).astype(np.int32))
+        rows_packed = tuple(jnp.take(a, cand, axis=0) for a in packed[:5])
+        rows = unpack_candidate_rows(head, rows_packed)
+        want = tuple(jnp.take(a, cand, axis=0) for a in item_side[:5])
+        for a, b in zip(rows, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCascadeScorer:
+    def setup_method(self, _):
+        self.model = make_model()
+        self.variables = init_variables(self.model)
+        self.store = make_store()
+
+    def make_scorer(self, **kw):
+        return CatalogScorer(self.model, self.variables, self.store,
+                             item_chunk=128, user_chunk=8, **kw)
+
+    def test_full_coverage_cascade_equals_exact(self):
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        seen = np.zeros((6, N_ITEMS), bool)
+        seen[0, :3] = True
+        seen[2, 5:9] = True
+        ve, ie = sc.top_k(users, 5, seen_mask=seen)
+        vc, ic = sc.top_k_cascade(users, 5, n_candidates=N_ITEMS,
+                                  seen_mask=seen)
+        np.testing.assert_array_equal(ic, ie)
+        np.testing.assert_allclose(vc, ve, rtol=2e-4, atol=2e-5)
+
+    def test_calibration_monotone_and_complete(self):
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        rec = sc.calibrate_cascade(users, 5, candidate_grid=(8, 16, N_ITEMS))
+        vals = [rec[c] for c in sorted(rec)]
+        assert vals == sorted(vals)
+        assert rec[min(N_ITEMS, sc.n_items)] == 1.0
+
+    def test_cascade_requires_attention_head(self):
+        from pixelrec_multimodal_tpu.models.multimodal import (
+            MultimodalRecommender,
+        )
+        model = MultimodalRecommender(
+            n_users=8, n_items=N_ITEMS, n_tags=N_TAGS,
+            num_numerical_features=2, embedding_dim=8,
+            vision_feature_dim=6, language_feature_dim=5,
+            use_contrastive=False, fusion_hidden_dims=(32, 16),
+            fusion_type='concatenate')
+        variables = init_variables(model)
+        sc = CatalogScorer(model, variables, self.store, item_chunk=128,
+                           user_chunk=8)
+        with pytest.raises(ValueError, match='attention'):
+            sc.top_k_cascade(np.arange(2, dtype=np.int32), 3)
+
+    def test_cascade_packed_tables(self, monkeypatch):
+        """The lane-packed big-table branch: tail stored packed, screen
+        re-pads per chunk, rescore unpacks gathered rows."""
+        monkeypatch.setattr(CatalogScorer, '_PACK_BYTES', 1)
+        packed = self.make_scorer(attention_variant='gram')
+        assert packed._attn_packed
+        plain = self.make_scorer(attention_variant='gram')
+        # monkeypatch still active; build a non-packed control explicitly
+        monkeypatch.setattr(CatalogScorer, '_PACK_BYTES', 4 << 30)
+        plain = self.make_scorer(attention_variant='gram')
+        assert not plain._attn_packed
+        users = np.arange(5, dtype=np.int32)
+        vp, ip = packed.top_k_cascade(users, 4, n_candidates=16)
+        vn, iq = plain.top_k_cascade(users, 4, n_candidates=16)
+        np.testing.assert_array_equal(ip, iq)
+        np.testing.assert_allclose(vp, vn, rtol=1e-4, atol=1e-5)
+
+    def test_score_candidates_attention_fast_matches_generic(self):
+        sc = self.make_scorer()
+        slow = self.make_scorer(fast_path=False)
+        rng = np.random.default_rng(3)
+        users = np.arange(6, dtype=np.int32)
+        cand = rng.integers(0, N_ITEMS, (6, 7)).astype(np.int32)
+        mask = rng.random((6, 7)) > 0.2
+        vf = sc.score_candidates(users, cand, mask)
+        vs = slow.score_candidates(users, cand, mask)
+        np.testing.assert_allclose(vf, vs, rtol=2e-4, atol=2e-5)
+
+
+class TestCascadeMesh:
+    def test_sharded_cascade_matches_single_device(self):
+        from pixelrec_multimodal_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip('needs 8 simulated devices')
+        model = make_model()
+        variables = init_variables(model)
+        store = make_store()
+        single = CatalogScorer(model, variables, store, item_chunk=32,
+                               user_chunk=8)
+        mesh = make_mesh(model_parallel=4)
+        meshed = CatalogScorer(model, variables, store, item_chunk=32,
+                               user_chunk=8, mesh=mesh)
+        users = np.arange(6, dtype=np.int32)
+        vs, is_ = single.top_k_cascade(users, 4, n_candidates=16)
+        vm, im = meshed.top_k_cascade(users, 4, n_candidates=16)
+        np.testing.assert_array_equal(im, is_)
+        np.testing.assert_allclose(vm, vs, rtol=1e-4, atol=1e-5)
