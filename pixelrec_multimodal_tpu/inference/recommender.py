@@ -25,7 +25,8 @@ class Recommender:
                  item_chunk: Optional[int] = None,
                  user_chunk: Optional[int] = None,
                  mesh=None, precision: str = 'bf16',
-                 cascade_candidates: Optional[int] = None):
+                 cascade_candidates: Optional[int] = None,
+                 cascade_screen: str = 'additive'):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,
@@ -39,6 +40,7 @@ class Recommender:
             raise ValueError('cascade_candidates applies to attention '
                              f'fusion only (got {model.fusion_type!r})')
         self.cascade_candidates = cascade_candidates
+        self.cascade_screen = cascade_screen
         self._user_classes = set(
             map(str, getattr(dataset.user_encoder, 'classes_', [])))
         self._item_classes = set(
@@ -83,7 +85,8 @@ class Recommender:
         if self.cascade_candidates is not None:
             values, idx = self.scorer.top_k_cascade(
                 np.asarray([uidx]), top_k,
-                n_candidates=self.cascade_candidates, seen_mask=seen_mask)
+                n_candidates=self.cascade_candidates, seen_mask=seen_mask,
+                screen=self.cascade_screen)
         else:
             values, idx = self.scorer.top_k(np.asarray([uidx]), top_k,
                                             seen_mask=seen_mask)
@@ -208,7 +211,7 @@ class Recommender:
         if self.cascade_candidates is not None:
             values, idx = self.scorer.top_k_cascade(
                 uidx, top_k, n_candidates=self.cascade_candidates,
-                seen_mask=seen_mask)
+                seen_mask=seen_mask, screen=self.cascade_screen)
         else:
             values, idx = self.scorer.top_k(uidx, top_k, seen_mask=seen_mask)
         item_classes = np.asarray(self.dataset.item_encoder.classes_).astype(str)

@@ -140,7 +140,14 @@ class CatalogScorer:
         # user tiles run wider than the exact attention kernels'.
         self.screen_tile_users = 32
         self.screen_tile_items = 128
+        # Additive-screen tier: scores run through the concat pairwise
+        # kernel ([B,h1] x [C,h1] rows), so it inherits concat's measured
+        # tile optimum.
+        self.screen_add_tile_users = 64
+        self.screen_add_tile_items = 128
         self._screen_tail: Optional[jnp.ndarray] = None
+        self._screen_add: Optional[jnp.ndarray] = None
+        self._screen_add_head_cache: Optional[dict] = None
         self._sharded_fns: Dict = {}
         if mesh is not None:
             # Model weights replicate over the mesh (they're small); without
@@ -459,9 +466,21 @@ class CatalogScorer:
             jnp.zeros((B_pad,) + a.shape[1:], a.dtype).at[:B].set(a)
             for a in user_side)
 
+    def _screen_add_head(self) -> dict:
+        """Minimal concat-kernel head for the additive screen tier (the
+        MLP chain shared with the exact head; b1 lives in the user rows)."""
+        if self._screen_add_head_cache is None:
+            h = self._head
+            self._screen_add_head_cache = {
+                'layers': h['layers'], 'activation': h['activation'],
+                'final_activation': h['final_activation'], 'h1': h['h1'],
+                'b1': h['b1'], 'b1_folded': True,
+            }
+        return self._screen_add_head_cache
+
     def _fast_pair_scores(self, user_side_p: Tuple[jnp.ndarray, ...],
                           chunk: Tuple[jnp.ndarray, ...], B: int,
-                          screen: bool = False) -> jnp.ndarray:
+                          screen=False) -> jnp.ndarray:
         """[B, C] pair scores for one item chunk through the per-fusion
         fused kernel (Pallas on TPU, identical-math XLA elsewhere).
 
@@ -470,11 +489,14 @@ class CatalogScorer:
         64x128 best (sweep history in git); gated 32x128, attention 8x128
         (ops docstrings carry the VMEM accounting).
 
-        screen=True scores through the cascade SCREEN kernel (attention
-        only; ops/attention_cascade.py): the chunk tuple then carries the
-        per-item screen tail as its last element.
+        screen=True/'token0' scores through the cascade SCREEN kernel
+        (attention only; ops/attention_cascade.py): the chunk tuple then
+        carries the per-item screen tail as its last element.
+        screen='additive' scores through the concat pairwise kernel on
+        additive-screen first-layer rows (chunk = (itf,)).
         """
         from ..ops.attention_cascade import (
+            compute_screen_additive_user,
             pallas_attention_screen_scores,
             xla_attention_screen_scores,
         )
@@ -492,6 +514,20 @@ class CatalogScorer:
         )
         fusion = self._head['fusion']
         TB, TC = self.tile_users, self.tile_items
+        if screen == 'additive':
+            uf = compute_screen_additive_user(self._head, user_side_p)
+            shead = self._screen_add_head()
+            itf = chunk[0]
+            if self._use_pallas:
+                TBa = self.screen_add_tile_users
+                Bp = ((uf.shape[0] + TBa - 1) // TBa) * TBa
+                if Bp != uf.shape[0]:
+                    uf = jnp.zeros((Bp, uf.shape[1]), uf.dtype).at[
+                        :uf.shape[0]].set(uf)
+                return pallas_pairwise_scores(
+                    shead, uf, itf, tile_users=TBa,
+                    tile_items=self.screen_add_tile_items)[:B]
+            return xla_pairwise_scores(shead, uf[:B], itf)
         if screen:
             *tabs, tail = chunk
             tabs = tuple(tabs)
@@ -582,6 +618,18 @@ class CatalogScorer:
         return self._fast_topk_body(variables, item_fast, user_idx,
                                     seen_items, k, jnp.int32(0), screen=True)
 
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _topk_scan_screen_add(self, variables,
+                              item_fast: Tuple[jnp.ndarray, ...],
+                              user_idx: jnp.ndarray,
+                              seen_items: jnp.ndarray,
+                              k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Streaming top-k through the ADDITIVE screen tier (item_fast is
+        the single [n_pad, h1] additive first-layer table)."""
+        return self._fast_topk_body(variables, item_fast, user_idx,
+                                    seen_items, k, jnp.int32(0),
+                                    screen='additive')
+
     # --------------------------------------------------------- sharded top-k
     def _sharded_topk(self, k: int, fast: bool):
         """Build (and cache) the shard_map'd exact top-k for ``self.mesh``.
@@ -602,7 +650,11 @@ class CatalogScorer:
         from jax import shard_map
 
         n_local = self.n_pad // self._model_size
-        if fast == 'screen':
+        if fast == 'screen_add':
+            body = partial(self._fast_topk_body, screen='additive')
+            item_spec = (P(MODEL_AXIS),)
+            mask_spec = P(DATA_AXIS)
+        elif fast == 'screen':
             body = partial(self._fast_topk_body, screen=True)
             item_spec = tuple(P(MODEL_AXIS)
                               for _ in range(len(self._item_fast) + 1))
@@ -671,22 +723,27 @@ class CatalogScorer:
             except Exception as e:  # jax wraps XlaRuntimeError variously
                 msg = str(e).lower()
                 if 'vmem' not in msg or (self.tile_users <= 8
-                                         and self.screen_tile_users <= 8):
+                                         and self.screen_tile_users <= 8
+                                         and self.screen_add_tile_users <= 8):
                     raise
-                # Halve both the exact and the screen user tiles (floor 8
-                # each): the failing call may be either kernel and the
+                # Halve the exact and both screen-tier user tiles (floor 8
+                # each): the failing call may be any kernel and the
                 # wrapped error does not say which.
                 self.tile_users = max(8, self.tile_users // 2)
                 self.screen_tile_users = max(8, self.screen_tile_users // 2)
+                self.screen_add_tile_users = max(
+                    8, self.screen_add_tile_users // 2)
                 # stderr: bench.py's stdout contract is exactly ONE JSON line.
                 print(f"CatalogScorer: scoped-VMEM overflow; retrying "
                       f"with tile_users={self.tile_users} "
-                      f"(screen {self.screen_tile_users})", file=sys.stderr)
+                      f"(screen {self.screen_tile_users}/"
+                      f"{self.screen_add_tile_users})", file=sys.stderr)
                 # self is a static jit arg (hashed by id), so cached
                 # traces with the old tile geometry must be dropped.
                 for fn in (type(self)._topk_scan_fast,
                            type(self)._score_full_fast,
-                           type(self)._topk_scan_screen):
+                           type(self)._topk_scan_screen,
+                           type(self)._topk_scan_screen_add):
                     try:
                         fn.clear_cache()
                     except AttributeError:
@@ -735,7 +792,10 @@ class CatalogScorer:
                         seen[bi, :len(r)] = r
                 else:
                     seen = np.zeros((Bp, 0), dtype=np.int32)
-                if _screen:
+                if _screen == 'additive':
+                    tables = (self._screen_add,)
+                    mode, scan = 'screen_add', self._topk_scan_screen_add
+                elif _screen:
                     tables = self._item_fast + (self._screen_tail,)
                     mode, scan = 'screen', self._topk_scan_screen
                 else:
@@ -817,6 +877,20 @@ class CatalogScorer:
             tail = jax.device_put(tail, item_table_sharding(self.mesh))
         self._screen_tail = tail
 
+    def _ensure_screen_additive(self) -> None:
+        """Build (once) the [n_pad, h1] additive-screen item table —
+        the screen tail pushed through W1 (one matmul; the table is the
+        same shape/cost as the concat path's item_first table)."""
+        self._ensure_screen()
+        if self._screen_add is not None:
+            return
+        from ..ops.attention_cascade import compute_screen_additive_items
+        add = jax.jit(partial(compute_screen_additive_items, self._head))(
+            self._screen_tail)
+        if self.mesh is not None:
+            add = jax.device_put(add, item_table_sharding(self.mesh))
+        self._screen_add = add
+
     @partial(jax.jit, static_argnums=0)
     def _rescore_attention(self, variables, item_fast,
                            user_idx: jnp.ndarray,
@@ -881,26 +955,39 @@ class CatalogScorer:
 
     def top_k_cascade(self, user_indices: np.ndarray, k: int,
                       n_candidates: Optional[int] = None,
-                      seen_mask: Optional[np.ndarray] = None
+                      seen_mask: Optional[np.ndarray] = None,
+                      screen: str = 'additive'
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Two-stage top-k for attention fusion: screen the catalog with
-        the cheap token-0-exact kernel, then EXACT-rescore the top
-        ``n_candidates`` per user and return their exact top-k.
+        a cheap kernel, then EXACT-rescore the top ``n_candidates`` per
+        user and return their exact top-k.
 
-        Returned scores are exact; the result equals the exact full-scan
-        ``top_k`` whenever the screen's recall@n_candidates covers the
-        true top-k — measure it with ``calibrate_cascade`` and pick
-        n_candidates with a margin (default 8*k, floor 256). Opt-in: the
-        default ``top_k`` path stays the exact full scan
-        (ops/attention_cascade.py module docstring for the design).
+        screen: 'additive' (default — concat-kernel-rate screen, both
+        attention limits frozen; weakest recall per C) or 'token0' (the
+        user token's attention row computed exactly; ~69M pairs/s kernel,
+        stronger recall per C). Returned scores are exact; the result
+        equals the exact full-scan ``top_k`` whenever the screen's
+        recall@n_candidates covers the true top-k — measure it with
+        ``calibrate_cascade`` and pick n_candidates with a margin
+        (defaults: 8*k floor 256 for token0, 16*k floor 1024 for the
+        weaker additive screen). Opt-in: the default ``top_k`` path stays
+        the exact full scan (ops/attention_cascade.py module docstring
+        for the design).
         """
-        self._ensure_screen()
+        if screen not in ('additive', 'token0'):
+            raise ValueError(f"screen must be 'additive' or 'token0', "
+                             f"got {screen!r}")
+        if screen == 'additive':
+            self._ensure_screen_additive()
+        else:
+            self._ensure_screen()
         user_indices = np.asarray(user_indices, np.int32)
         if n_candidates is None:
-            n_candidates = max(8 * k, 256)
+            n_candidates = (max(16 * k, 1024) if screen == 'additive'
+                            else max(8 * k, 256))
         n_candidates = min(n_candidates, self.n_items)
         _, si = self.top_k(user_indices, n_candidates, seen_mask,
-                           _screen=True)
+                           _screen=screen if screen == 'additive' else True)
         scores = self._rescore_blocks(user_indices, si)
         scores = np.where(si < 0, float(NEG_INF), scores).astype(np.float32)
         pos = np.argsort(-scores, kind='stable', axis=1)[:, :k]
@@ -911,19 +998,24 @@ class CatalogScorer:
 
     def calibrate_cascade(self, user_indices: np.ndarray, k: int,
                           candidate_grid=(128, 256, 512, 1024),
-                          seen_mask: Optional[np.ndarray] = None
-                          ) -> Dict[int, float]:
+                          seen_mask: Optional[np.ndarray] = None,
+                          screen: str = 'additive') -> Dict[int, float]:
         """Measured screen recall on a user sample: the fraction of each
         user's EXACT top-k recovered in the screen's top-C, per C in
         ``candidate_grid``. Run this before enabling the cascade and pick
         the smallest C with recall 1.0 (plus a safety factor) — the
         cascade's exactness guarantee is conditional on screen recall,
-        and this is the measurement that grounds it."""
-        self._ensure_screen()
+        and this is the measurement that grounds it. ``screen`` selects
+        the tier being calibrated ('additive' or 'token0')."""
+        if screen == 'additive':
+            self._ensure_screen_additive()
+        else:
+            self._ensure_screen()
         user_indices = np.asarray(user_indices, np.int32)
         grid = sorted({min(int(c), self.n_items) for c in candidate_grid})
         _, ei = self.top_k(user_indices, k, seen_mask)
-        _, si = self.top_k(user_indices, grid[-1], seen_mask, _screen=True)
+        _, si = self.top_k(user_indices, grid[-1], seen_mask,
+                           _screen=screen if screen == 'additive' else True)
         out = {}
         for cc in grid:
             hits = total = 0

@@ -94,6 +94,50 @@ def unpack_candidate_rows(head: dict, rows: Tuple[jnp.ndarray, ...]
             pad(rows[3], Mi * H)) + tuple(rows[4:])
 
 
+# ----------------------------------------------------- additive screen tier
+def compute_screen_additive_user(head: dict,
+                                 user_side: Tuple[jnp.ndarray, ...]
+                                 ) -> jnp.ndarray:
+    """[B, h1] user-side first-layer rows for the ADDITIVE screen tier.
+
+    The cheapest cascade screen: freeze token 0's attention output to its
+    USER-only limit as well (``e_items -> 0``: the softmax mass collapses
+    onto the user key, so ``attn_0h -> u_vo_h``). The whole fused vector
+    then splits additively into a per-user part and the per-item screen
+    tail, and because the first Dense distributes over the sum the screen
+    score is exactly the CONCAT pairwise kernel's form —
+    ``MLP(uf + itf)`` — which runs at the concat kernel's ~427M pairs/s
+    instead of the token-0 kernel's ~69M. All user-item coupling beyond
+    the MLP nonlinearity is dropped, so its recall@C is strictly weaker
+    than the token-0 screen's: ``calibrate_cascade(screen='additive')``
+    measures it and picks C (the exact rescore stage keeps final scores
+    exact regardless). b1 folds into the user rows (b1_folded contract of
+    ops/pairwise_mlp).
+    """
+    d, dp, H = head['d'], head['dp'], head['H']
+    T = head['n_item_mods'] + 1
+    u_raw, u_vo = user_side[0], user_side[3]
+    B = u_raw.shape[0]
+    y0 = u_raw[:, :d] + jnp.sum(u_vo.reshape(B, H, dp)[..., :d], axis=1)
+    mu = jnp.mean(y0, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y0 - mu), axis=-1, keepdims=True)
+    yn = (y0 - mu) * jax.lax.rsqrt(var + LN_EPS)
+    u_fused = yn * (head['ln_scale'] / T) + head['ln_bias']
+    return u_fused @ head['w1'][:d] + head['b1']
+
+
+def compute_screen_additive_items(head: dict, it_tail: jnp.ndarray
+                                  ) -> jnp.ndarray:
+    """[N, h1] item-side first-layer rows: the screen tail through W1.
+
+    ``it_tail`` is ``compute_screen_tail``'s output (gamma/T already
+    folded; any lane padding beyond d is zero and W1's padded rows are
+    sliced away).
+    """
+    d = head['d']
+    return it_tail[:, :d] @ head['w1'][:d]
+
+
 # ------------------------------------------------------------ XLA reference
 def xla_attention_screen_scores(head: dict,
                                 user_side: Tuple[jnp.ndarray, ...],

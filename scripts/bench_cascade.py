@@ -104,51 +104,64 @@ def main():
         log(f"exact run {r + 1}: {dt:.2f}s -> {rates[-1]:,.0f} pairs/s")
     results['exact'] = float(np.median(rates))
 
-    # --- screen-only top-C scan
-    scorer._ensure_screen()
-    t0 = time.time()
-    scorer.top_k(users[:scorer.user_chunk], n_cand, _screen=True)
-    log(f"screen compile+first block: {time.time() - t0:.1f}s")
-    rates = []
-    for r in range(3):
-        t0 = time.time()
-        sv, si = scorer.top_k(users, n_cand, _screen=True)
-        dt = time.time() - t0
-        rates.append(n_users * N_ITEMS / dt)
-        log(f"screen run {r + 1}: {dt:.2f}s -> {rates[-1]:,.0f} pairs/s")
-    results['screen'] = float(np.median(rates))
-
-    # --- measured recall@C on this user population
     k_sets = [set(row[row >= 0].tolist()) for row in ei]
-    for cc in (128, 256, n_cand):
-        hits = sum(len(ks & set(si[b, :cc].tolist()))
-                   for b, ks in enumerate(k_sets))
-        total = sum(len(ks) for ks in k_sets)
-        results[f'recall_at_{cc}'] = hits / max(total, 1)
-        log(f"screen recall@{cc} (k={TOP_K}): {results[f'recall_at_{cc}']:.4f}")
 
-    # --- cascade end-to-end
-    t0 = time.time()
-    scorer.top_k_cascade(users[:scorer.user_chunk], TOP_K,
-                         n_candidates=n_cand)
-    log(f"cascade compile+first block: {time.time() - t0:.1f}s")
-    rates = []
-    for r in range(3):
+    for tier, flag in (('token0', True), ('additive', 'additive')):
+        # --- screen-only top-C scan
+        if tier == 'additive':
+            scorer._ensure_screen_additive()
+        else:
+            scorer._ensure_screen()
         t0 = time.time()
-        cv, ci = scorer.top_k_cascade(users, TOP_K, n_candidates=n_cand)
-        dt = time.time() - t0
-        rates.append(n_users * N_ITEMS / dt)
-        log(f"cascade run {r + 1}: {dt:.2f}s -> {rates[-1]:,.0f} "
-            f"effective pairs/s")
-    results['cascade_effective'] = float(np.median(rates))
+        scorer.top_k(users[:scorer.user_chunk], n_cand, _screen=flag)
+        log(f"{tier} screen compile+first block: {time.time() - t0:.1f}s")
+        rates = []
+        for r in range(3):
+            t0 = time.time()
+            sv, si = scorer.top_k(users, n_cand, _screen=flag)
+            dt = time.time() - t0
+            rates.append(n_users * N_ITEMS / dt)
+            log(f"{tier} screen run {r + 1}: {dt:.2f}s -> "
+                f"{rates[-1]:,.0f} pairs/s")
+        results[f'screen_{tier}'] = float(np.median(rates))
 
-    # top-K set agreement of the cascade vs the exact scan
-    agree = np.mean([len(set(ci[b][ci[b] >= 0].tolist()) & ks) / max(len(ks), 1)
-                     for b, ks in enumerate(k_sets)])
-    results['topk_agreement'] = float(agree)
-    log(f"cascade top-{TOP_K} agreement: {agree:.4f}")
+        # --- measured recall@C on this user population
+        for cc in (128, 256, n_cand):
+            hits = sum(len(ks & set(si[b, :cc].tolist()))
+                       for b, ks in enumerate(k_sets))
+            total = sum(len(ks) for ks in k_sets)
+            results[f'recall_{tier}_at_{cc}'] = hits / max(total, 1)
+            log(f"{tier} screen recall@{cc} (k={TOP_K}): "
+                f"{results[f'recall_{tier}_at_{cc}']:.4f}")
 
-    for name in ('exact', 'screen', 'cascade_effective'):
+        # --- cascade end-to-end
+        t0 = time.time()
+        scorer.top_k_cascade(users[:scorer.user_chunk], TOP_K,
+                             n_candidates=n_cand, screen=tier)
+        log(f"{tier} cascade compile+first block: {time.time() - t0:.1f}s")
+        rates = []
+        for r in range(3):
+            t0 = time.time()
+            cv, ci = scorer.top_k_cascade(users, TOP_K, n_candidates=n_cand,
+                                          screen=tier)
+            dt = time.time() - t0
+            rates.append(n_users * N_ITEMS / dt)
+            log(f"{tier} cascade run {r + 1}: {dt:.2f}s -> "
+                f"{rates[-1]:,.0f} effective pairs/s")
+        results[f'cascade_effective_{tier}'] = float(np.median(rates))
+
+        # top-K set agreement of the cascade vs the exact scan
+        agree = np.mean([len(set(ci[b][ci[b] >= 0].tolist()) & ks)
+                         / max(len(ks), 1)
+                         for b, ks in enumerate(k_sets)])
+        results[f'topk_agreement_{tier}'] = float(agree)
+        log(f"{tier} cascade top-{TOP_K} agreement: {agree:.4f}")
+
+    for name in sorted(results):
+        if name.startswith('recall'):
+            continue
+        if name.startswith('topk_agreement'):
+            continue
         print(json.dumps({
             'metric': f'attention_topk_pairs_per_sec_{name}',
             'value': round(results[name], 1), 'unit': 'pairs/sec/chip'}),
@@ -158,7 +171,8 @@ def main():
         'n_candidates': n_cand, 'k': TOP_K,
         'recall': {k: round(v, 4) for k, v in results.items()
                    if k.startswith('recall')},
-        'topk_agreement': round(results['topk_agreement'], 4)}), flush=True)
+        'topk_agreement': {k: round(v, 4) for k, v in results.items()
+                           if k.startswith('topk_agreement')}}), flush=True)
 
 
 if __name__ == '__main__':

@@ -35,7 +35,8 @@ from evaluate import find_encoders, find_model_checkpoint  # noqa: E402
 
 def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
                         mesh=None, precision: str = 'bf16',
-                        cascade: int = None):
+                        cascade: int = None,
+                        cascade_screen: str = 'additive'):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -82,7 +83,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
         variables['batch_stats'] = restored['state']['batch_stats']
     return (Recommender(model, variables, dataset, mesh=mesh,
                         precision=precision,
-                        cascade_candidates=cascade), dataset)
+                        cascade_candidates=cascade,
+                        cascade_screen=cascade_screen), dataset)
 
 
 def resolve_users(args, dataset) -> list:
@@ -139,12 +141,18 @@ def main(cli_args=None):
                              'are approximate — see BASELINE.md.')
     parser.add_argument('--cascade', type=int, default=None, metavar='C',
                         help='Attention fusion only: two-stage cascaded '
-                             'top-K — screen the catalog with the cheap '
-                             'token-0-exact kernel, exact-rescore the top '
-                             'C candidates per user. Returned scores are '
-                             'exact; top-K equals the full scan whenever '
-                             'screen recall@C covers it (calibrate with '
+                             'top-K — screen the catalog with a cheap '
+                             'kernel, exact-rescore the top C candidates '
+                             'per user. Returned scores are exact; top-K '
+                             'equals the full scan whenever screen '
+                             'recall@C covers it (calibrate with '
                              'CatalogScorer.calibrate_cascade).')
+    parser.add_argument('--cascade_screen', type=str, default='additive',
+                        choices=['additive', 'token0'],
+                        help='Cascade screen tier: additive (concat-'
+                             'kernel-rate, weakest recall per C) or '
+                             'token0 (exact user-token attention row, '
+                             'stronger recall per C).')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "
@@ -166,7 +174,8 @@ def main(cli_args=None):
     recommender, dataset = load_model_and_data(config, args.checkpoint_name,
                                                mesh=mesh,
                                                precision=args.precision,
-                                               cascade=args.cascade)
+                                               cascade=args.cascade,
+                                               cascade_screen=args.cascade_screen)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

@@ -175,7 +175,8 @@ def main():
 
         timed('gated_int8', lambda: run_gated_q(uf, ug, itf, ig), pairs)
 
-    if which in ('attention', 'attention_gram', 'all'):
+    if which in ('attention', 'attention_gram', 'screen', 'screen_sweep',
+                 'all'):
         from pixelrec_multimodal_tpu.ops.attention_scorer import (
             _gram_layout,
             _user_sc_layout,
@@ -233,6 +234,36 @@ def main():
 
             timed('attention_gram',
                   lambda: run_gram(user_side, item_side), pairs)
+
+        if which in ('screen', 'screen_sweep', 'all'):
+            # Cascade screen kernel (ops/attention_cascade): exact token-0
+            # attention + precomputed item tail. Kernel-only rate — the
+            # cascade's effective throughput ceiling.
+            from pixelrec_multimodal_tpu.ops.attention_cascade import (
+                pallas_attention_screen_scores,
+            )
+            it_tail = jnp.asarray(rng.standard_normal((C, DP)), jnp.float32)
+
+            def run_screen_at(tbu, tci):
+                @jax.jit
+                def run(user_side, item_side, it_tail):
+                    return jnp.sum(pallas_attention_screen_scores(
+                        head, user_side, item_side, it_tail,
+                        tile_users=tbu, tile_items=tci))
+                return timed(f'attention_screen_{tbu}x{tci}',
+                             lambda: run(user_side, item_side, it_tail),
+                             pairs)
+
+            if which == 'screen_sweep':
+                for tbu, tci in ((32, 128), (8, 256), (16, 256), (32, 256),
+                                 (64, 128), (64, 256), (128, 256)):
+                    try:
+                        run_screen_at(tbu, tci)
+                    except Exception as e:  # Mosaic VMEM rejections
+                        log(f"screen {tbu}x{tci} failed: "
+                            f"{str(e).splitlines()[0][:120]}")
+            else:
+                run_screen_at(tb or 32, tc or 128)
 
 
 if __name__ == '__main__':

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
 from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
 from pixelrec_multimodal_tpu.ops.attention_cascade import (
+    compute_screen_additive_items,
+    compute_screen_additive_user,
     compute_screen_tail,
     pallas_attention_screen_scores,
     unpack_candidate_rows,
@@ -113,6 +115,50 @@ class TestScreenMath:
         c = np.corrcoef(scr.ravel(), ex.ravel())[0, 1]
         assert c > 0.9, c
 
+    def test_additive_screen_matches_direct_formula(self):
+        """The additive tier's factorized rows reproduce
+        MLP(LN(user-only token 0) + item tail) computed directly."""
+        from pixelrec_multimodal_tpu.models.multimodal import activation_fn
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            xla_pairwise_scores,
+        )
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=8, C=24)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        tail = compute_screen_tail(head, item_side)
+        uf = compute_screen_additive_user(head, user_side)
+        itf = compute_screen_additive_items(head, tail)
+        shead = {'layers': head['layers'], 'activation': head['activation'],
+                 'final_activation': head['final_activation'],
+                 'h1': head['h1'], 'b1': head['b1'], 'b1_folded': True}
+        got = np.asarray(xla_pairwise_scores(shead, uf, itf))
+
+        # direct: user token y0 in the e_items->0 limit + tail, then MLP
+        d, dp, H = head['d'], head['dp'], head['H']
+        T = head['n_item_mods'] + 1
+        u_raw, u_vo = user_side[0], user_side[3]
+        B = u_raw.shape[0]
+        y0 = u_raw[:, :d] + jnp.sum(
+            u_vo.reshape(B, H, dp)[..., :d], axis=1)
+        mu = jnp.mean(y0, -1, keepdims=True)
+        var = jnp.mean(jnp.square(y0 - mu), -1, keepdims=True)
+        yn = (y0 - mu) * jax.lax.rsqrt(var + LN_EPS)
+        u_fused = yn * (head['ln_scale'] / T) + head['ln_bias']
+        fused = u_fused[:, None, :] + tail[None, :, :d]
+        act = activation_fn(head['activation'])
+        x = act(fused.reshape(-1, d) @ head['w1'][:d] + head['b1'])
+        for i, (wl, bl) in enumerate(head['layers']):
+            x = x @ wl + bl
+            if i < len(head['layers']) - 1:
+                x = act(x)
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import _apply_final
+        want = np.asarray(_apply_final(
+            x[:, 0], head['final_activation']).reshape(B, -1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_candidate_scores_match_exact_columns(self):
         model = make_model(heads=2)
         variables = init_variables(model)
@@ -158,7 +204,8 @@ class TestCascadeScorer:
         return CatalogScorer(self.model, self.variables, self.store,
                              item_chunk=128, user_chunk=8, **kw)
 
-    def test_full_coverage_cascade_equals_exact(self):
+    @pytest.mark.parametrize('screen', ['additive', 'token0'])
+    def test_full_coverage_cascade_equals_exact(self, screen):
         sc = self.make_scorer()
         users = np.arange(6, dtype=np.int32)
         seen = np.zeros((6, N_ITEMS), bool)
@@ -166,17 +213,25 @@ class TestCascadeScorer:
         seen[2, 5:9] = True
         ve, ie = sc.top_k(users, 5, seen_mask=seen)
         vc, ic = sc.top_k_cascade(users, 5, n_candidates=N_ITEMS,
-                                  seen_mask=seen)
+                                  seen_mask=seen, screen=screen)
         np.testing.assert_array_equal(ic, ie)
         np.testing.assert_allclose(vc, ve, rtol=2e-4, atol=2e-5)
 
-    def test_calibration_monotone_and_complete(self):
+    @pytest.mark.parametrize('screen', ['additive', 'token0'])
+    def test_calibration_monotone_and_complete(self, screen):
         sc = self.make_scorer()
         users = np.arange(6, dtype=np.int32)
-        rec = sc.calibrate_cascade(users, 5, candidate_grid=(8, 16, N_ITEMS))
+        rec = sc.calibrate_cascade(users, 5, candidate_grid=(8, 16, N_ITEMS),
+                                   screen=screen)
         vals = [rec[c] for c in sorted(rec)]
         assert vals == sorted(vals)
         assert rec[min(N_ITEMS, sc.n_items)] == 1.0
+
+    def test_cascade_rejects_unknown_screen(self):
+        sc = self.make_scorer()
+        with pytest.raises(ValueError, match='screen'):
+            sc.top_k_cascade(np.arange(2, dtype=np.int32), 3,
+                             screen='nope')
 
     def test_cascade_requires_attention_head(self):
         from pixelrec_multimodal_tpu.models.multimodal import (
@@ -206,10 +261,13 @@ class TestCascadeScorer:
         plain = self.make_scorer(attention_variant='gram')
         assert not plain._attn_packed
         users = np.arange(5, dtype=np.int32)
-        vp, ip = packed.top_k_cascade(users, 4, n_candidates=16)
-        vn, iq = plain.top_k_cascade(users, 4, n_candidates=16)
-        np.testing.assert_array_equal(ip, iq)
-        np.testing.assert_allclose(vp, vn, rtol=1e-4, atol=1e-5)
+        for screen in ('additive', 'token0'):
+            vp, ip = packed.top_k_cascade(users, 4, n_candidates=16,
+                                          screen=screen)
+            vn, iq = plain.top_k_cascade(users, 4, n_candidates=16,
+                                         screen=screen)
+            np.testing.assert_array_equal(ip, iq)
+            np.testing.assert_allclose(vp, vn, rtol=1e-4, atol=1e-5)
 
     def test_score_candidates_attention_fast_matches_generic(self):
         sc = self.make_scorer()
@@ -238,7 +296,10 @@ class TestCascadeMesh:
         meshed = CatalogScorer(model, variables, store, item_chunk=32,
                                user_chunk=8, mesh=mesh)
         users = np.arange(6, dtype=np.int32)
-        vs, is_ = single.top_k_cascade(users, 4, n_candidates=16)
-        vm, im = meshed.top_k_cascade(users, 4, n_candidates=16)
-        np.testing.assert_array_equal(im, is_)
-        np.testing.assert_allclose(vm, vs, rtol=1e-4, atol=1e-5)
+        for screen in ('additive', 'token0'):
+            vs, is_ = single.top_k_cascade(users, 4, n_candidates=16,
+                                           screen=screen)
+            vm, im = meshed.top_k_cascade(users, 4, n_candidates=16,
+                                          screen=screen)
+            np.testing.assert_array_equal(im, is_)
+            np.testing.assert_allclose(vm, vs, rtol=1e-4, atol=1e-5)
