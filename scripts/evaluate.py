@@ -89,7 +89,9 @@ def create_recommender(recommender_type: str, config: Config,
                        dataset: MultimodalDataset,
                        train_data: Optional[pd.DataFrame],
                        checkpoint_name: str = 'best_model', mesh=None,
-                       precision: str = 'bf16'):
+                       precision: str = 'bf16',
+                       cascade: Optional[int] = None,
+                       cascade_screen: str = 'additive'):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
         model = build_model(
@@ -106,7 +108,9 @@ def create_recommender(recommender_type: str, config: Config,
         if 'batch_stats' in state:
             variables['batch_stats'] = state['batch_stats']
         return Recommender(model, variables, dataset, mesh=mesh,
-                           precision=precision)
+                           precision=precision,
+                           cascade_candidates=cascade,
+                           cascade_screen=cascade_screen)
 
     history = train_data if train_data is not None else dataset.interactions
     if recommender_type == 'random':
@@ -158,6 +162,15 @@ def main(cli_args=None):
                         help='Retrieval task: rank each user\'s top-K over '
                              'the ENTIRE catalog (blocked fused-scorer '
                              'top-K) instead of a sampled candidate set')
+    parser.add_argument('--cascade', type=int, default=None, metavar='C',
+                        help='Attention fusion only: route full-catalog '
+                             'top-K through the two-stage cascade (screen '
+                             'top-C + exact rescore). Calibrate recall@C '
+                             'with CatalogScorer.calibrate_cascade first.')
+    parser.add_argument('--cascade_screen', type=str, default='additive',
+                        choices=['additive', 'token0'],
+                        help='Cascade screen tier (see '
+                             'generate_recommendations.py --cascade_screen)')
     parser.add_argument('--num_negatives', type=int, default=20,
                         help='Number of negative samples per positive item')
     parser.add_argument('--sampling_strategy', type=str, default='random',
@@ -237,7 +250,8 @@ def main(cli_args=None):
     recommender = create_recommender(
         args.recommender_type, config, dataset, train_data,
         checkpoint_name=args.checkpoint_name, mesh=mesh,
-        precision=args.precision)
+        precision=args.precision, cascade=args.cascade,
+        cascade_screen=args.cascade_screen)
 
     task = get_task_from_string(args.eval_task)
     evaluator = create_evaluator(
