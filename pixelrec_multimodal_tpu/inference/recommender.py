@@ -34,13 +34,20 @@ class Recommender:
                                     user_chunk=user_chunk, mesh=mesh,
                                     precision=precision)
         # Opt-in two-stage cascade for attention fusion (screen + exact
-        # rescore; scorer.top_k_cascade). Calibrate the candidate count
-        # with CatalogScorer.calibrate_cascade before trusting recall.
+        # rescore; scorer.top_k_cascade). An explicit int C trusts the
+        # caller's calibration (CatalogScorer.calibrate_cascade); 'auto'
+        # calibrates once per catalog snapshot on a user sample and
+        # installs a measured-recall plan (scorer.auto_cascade), falling
+        # back to the exact full scan when no screen tier reaches the
+        # recall target.
         if cascade_candidates is not None and model.fusion_type != 'attention':
             raise ValueError('cascade_candidates applies to attention '
                              f'fusion only (got {model.fusion_type!r})')
-        self.cascade_candidates = cascade_candidates
+        self.cascade_auto = cascade_candidates == 'auto'
+        self.cascade_candidates = (None if self.cascade_auto
+                                   else cascade_candidates)
         self.cascade_screen = cascade_screen
+        self._auto_failed_k: Optional[int] = None
         self._user_classes = set(
             map(str, getattr(dataset.user_encoder, 'classes_', [])))
         self._item_classes = set(
@@ -88,6 +95,8 @@ class Recommender:
                 n_candidates=self.cascade_candidates, seen_mask=seen_mask,
                 screen=self.cascade_screen)
         else:
+            if self.cascade_auto:
+                self._ensure_auto_cascade(top_k)
             values, idx = self.scorer.top_k(np.asarray([uidx]), top_k,
                                             seen_mask=seen_mask)
         out = []
@@ -213,6 +222,8 @@ class Recommender:
                 uidx, top_k, n_candidates=self.cascade_candidates,
                 seen_mask=seen_mask, screen=self.cascade_screen)
         else:
+            if self.cascade_auto:
+                self._ensure_auto_cascade(top_k)
             values, idx = self.scorer.top_k(uidx, top_k, seen_mask=seen_mask)
         item_classes = np.asarray(self.dataset.item_encoder.classes_).astype(str)
         for u, vs, ids in zip(known, values, idx):
@@ -228,6 +239,24 @@ class Recommender:
         fast path; indices are encoder positions, not raw ids)."""
         return self.scorer.score_candidates(user_indices, candidate_idx,
                                             candidate_mask)
+
+    # --------------------------------------------------------- auto cascade
+    def _ensure_auto_cascade(self, k: int) -> None:
+        """Install (once per catalog snapshot / k increase) the measured-
+        recall cascade plan. Calibrates on a seeded sample of the full
+        trained user population; when no screen tier reaches the recall
+        target the scorer keeps the exact full scan (and the failure is
+        remembered so each batch does not re-calibrate)."""
+        plan = self.scorer._cascade_plan
+        if plan is not None and plan['k'] >= k:
+            return
+        if self._auto_failed_k is not None and k <= self._auto_failed_k:
+            return
+        n_users = len(self.dataset.user_encoder.classes_)
+        res = self.scorer.auto_cascade(
+            np.arange(n_users, dtype=np.int32), k)
+        if res is None:
+            self._auto_failed_k = max(k, self._auto_failed_k or 0)
 
     # ----------------------------------------------------------------- history
     def _seen_set(self, uidx: int) -> set:

@@ -148,6 +148,10 @@ class CatalogScorer:
         self._screen_tail: Optional[jnp.ndarray] = None
         self._screen_add: Optional[jnp.ndarray] = None
         self._screen_add_head_cache: Optional[dict] = None
+        # Auto-calibrated cascade plan ({'screen', 'n_candidates', 'k',
+        # 'recall'}; set by auto_cascade). When set, top_k transparently
+        # routes through top_k_cascade for requests with k <= plan k.
+        self._cascade_plan: Optional[Dict] = None
         self._sharded_fns: Dict = {}
         if mesh is not None:
             # Model weights replicate over the mesh (they're small); without
@@ -478,6 +482,22 @@ class CatalogScorer:
             }
         return self._screen_add_head_cache
 
+    def _screen_additive_user_rows(self,
+                                   user_side_p: Tuple[jnp.ndarray, ...]
+                                   ) -> jnp.ndarray:
+        """Additive-screen user first-layer rows, padded to the additive
+        tier's user-tile multiple (computed once per user block, outside
+        the item-chunk scan)."""
+        from ..ops.attention_cascade import compute_screen_additive_user
+        uf = compute_screen_additive_user(self._head, user_side_p)
+        if self._use_pallas:
+            TBa = self.screen_add_tile_users
+            Bp = ((uf.shape[0] + TBa - 1) // TBa) * TBa
+            if Bp != uf.shape[0]:
+                uf = jnp.zeros((Bp, uf.shape[1]), uf.dtype).at[
+                    :uf.shape[0]].set(uf)
+        return uf
+
     def _fast_pair_scores(self, user_side_p: Tuple[jnp.ndarray, ...],
                           chunk: Tuple[jnp.ndarray, ...], B: int,
                           screen=False) -> jnp.ndarray:
@@ -496,7 +516,6 @@ class CatalogScorer:
         additive-screen first-layer rows (chunk = (itf,)).
         """
         from ..ops.attention_cascade import (
-            compute_screen_additive_user,
             pallas_attention_screen_scores,
             xla_attention_screen_scores,
         )
@@ -515,17 +534,15 @@ class CatalogScorer:
         fusion = self._head['fusion']
         TB, TC = self.tile_users, self.tile_items
         if screen == 'additive':
-            uf = compute_screen_additive_user(self._head, user_side_p)
+            # user_side_p is the precomputed additive first-layer rows
+            # (``_screen_additive_user_rows`` — hoisted out of the item-
+            # chunk scan in _fast_topk_body; loop-invariant work).
+            uf = user_side_p[0]
             shead = self._screen_add_head()
             itf = chunk[0]
             if self._use_pallas:
-                TBa = self.screen_add_tile_users
-                Bp = ((uf.shape[0] + TBa - 1) // TBa) * TBa
-                if Bp != uf.shape[0]:
-                    uf = jnp.zeros((Bp, uf.shape[1]), uf.dtype).at[
-                        :uf.shape[0]].set(uf)
                 return pallas_pairwise_scores(
-                    shead, uf, itf, tile_users=TBa,
+                    shead, uf, itf, tile_users=self.screen_add_tile_users,
                     tile_items=self.screen_add_tile_items)[:B]
             return xla_pairwise_scores(shead, uf[:B], itf)
         if screen:
@@ -582,6 +599,11 @@ class CatalogScorer:
         C = self.item_chunk
         num_chunks = item_fast[0].shape[0] // C
         user_side_p = self._fast_user_side(variables, user_idx)
+        if screen == 'additive':
+            # Compute the additive-screen user rows ONCE here (user LN +
+            # [B, d] x [d, h1] matmul + tile pad) instead of relying on
+            # XLA LICM to hoist it out of every scan iteration.
+            user_side_p = (self._screen_additive_user_rows(user_side_p),)
         chunks = tuple(a.reshape((num_chunks, C) + a.shape[1:])
                        for a in item_fast)
         offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
@@ -753,15 +775,31 @@ class CatalogScorer:
     # --------------------------------------------------------------- user API
     def top_k(self, user_indices: np.ndarray, k: int,
               seen_mask: Optional[np.ndarray] = None,
-              _screen: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+              _screen: bool = False,
+              _exact: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k items for each user.
 
         seen_mask: optional [B, n_items] bool (True = exclude). Returns
         (scores [B, k], item positions [B, k]; -1 where fewer than k valid).
         _screen (private; used by top_k_cascade): score through the cascade
         screen kernel instead of the exact kernel.
+        _exact (private; used by calibration): bypass an active
+        auto-cascade plan and force the exact full scan.
+
+        With an ``auto_cascade`` plan active (attention fusion), requests
+        with k <= the calibrated plan k route through the measured-recall
+        two-stage cascade; returned scores stay exact (the rescore stage
+        is the exact attention math) and equal the full scan whenever the
+        calibrated screen recall holds.
         """
         user_indices = np.asarray(user_indices, np.int32)
+        if (self._cascade_plan is not None and not _screen and not _exact
+                and k <= self._cascade_plan['k']):
+            plan = self._cascade_plan
+            return self.top_k_cascade(
+                user_indices, k, n_candidates=plan['n_candidates'],
+                seen_mask=seen_mask, screen=plan['screen'],
+                _calibrated=True)
         # Pick the smallest block class that covers the request (class
         # docstring at _BLOCK_CLASSES) and pad the tail block to it.
         chunk = self.user_chunk
@@ -900,10 +938,11 @@ class CatalogScorer:
         Gathers the per-item attention tables at the candidate ids and
         runs the batched exact math
         (ops/attention_cascade.xla_attention_candidate_scores) over
-        64-user sub-blocks inside one compiled scan — bounds the
-        [SB, C, T, H, dp] transients while keeping a single dispatch.
-        Under a mesh the gathers ride the sharded tables via GSPMD, like
-        the concat/gated candidate path.
+        64-user x 256-candidate sub-blocks inside one compiled scan —
+        bounds the [SB, CC, T, H, dp] transients (~0.17 GB at the
+        flagship geometry, independent of C) while keeping a single
+        dispatch. Under a mesh the gathers ride the sharded tables via
+        GSPMD, like the concat/gated candidate path.
         """
         from ..ops.attention_cascade import (
             unpack_candidate_rows,
@@ -916,16 +955,27 @@ class CatalogScorer:
         user_side = compute_user_side_attention(head, user_emb)[:5]
         SB = min(B, 64)
         nb = B // SB
+        # Candidate-axis sub-blocks: the additive tier's default C=1024
+        # would otherwise put ~0.7 GB f32 of per-sub-block transients on
+        # the heap per einsum (ADVICE r4).
+        CC = 256 if C % 256 == 0 and C > 256 else C
+        ncc = C // CC
         us = tuple(a.reshape((nb, SB) + a.shape[1:]) for a in user_side)
         ci = cand_idx.reshape(nb, SB, C)
         tabs = item_fast[:5]
 
         def body(_, xs):
             us_b, ci_b = xs
-            rows = tuple(jnp.take(t, ci_b, axis=0) for t in tabs)
-            if self._attn_packed:
-                rows = unpack_candidate_rows(head, rows)
-            return None, xla_attention_candidate_scores(head, us_b, rows)
+            ci_cc = ci_b.reshape(SB, ncc, CC).transpose(1, 0, 2)
+
+            def cbody(_, ci_c):
+                rows = tuple(jnp.take(t, ci_c, axis=0) for t in tabs)
+                if self._attn_packed:
+                    rows = unpack_candidate_rows(head, rows)
+                return None, xla_attention_candidate_scores(head, us_b, rows)
+
+            _, parts = jax.lax.scan(cbody, None, ci_cc)  # [ncc, SB, CC]
+            return None, parts.transpose(1, 0, 2).reshape(SB, C)
 
         _, out = jax.lax.scan(body, None, (us, ci))
         return out.reshape(B, C)
@@ -956,7 +1006,8 @@ class CatalogScorer:
     def top_k_cascade(self, user_indices: np.ndarray, k: int,
                       n_candidates: Optional[int] = None,
                       seen_mask: Optional[np.ndarray] = None,
-                      screen: str = 'additive'
+                      screen: str = 'additive',
+                      _calibrated: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Two-stage top-k for attention fusion: screen the catalog with
         a cheap kernel, then EXACT-rescore the top ``n_candidates`` per
@@ -982,9 +1033,24 @@ class CatalogScorer:
         else:
             self._ensure_screen()
         user_indices = np.asarray(user_indices, np.int32)
+        add_floor = max(16 * k, 1024)
         if n_candidates is None:
-            n_candidates = (max(16 * k, 1024) if screen == 'additive'
+            n_candidates = (add_floor if screen == 'additive'
                             else max(8 * k, 256))
+        elif (screen == 'additive' and n_candidates < add_floor
+              and n_candidates < self.n_items and not _calibrated):
+            # The additive screen drops ALL user-item attention coupling,
+            # so its recall per C is strictly weaker than token0's — a C
+            # calibrated against the token0 tier silently loses recall
+            # here (ADVICE r4). Warn on stderr (bench.py's stdout contract
+            # is exactly one JSON line).
+            print(f"CatalogScorer.top_k_cascade: n_candidates="
+                  f"{n_candidates} is below the additive screen's "
+                  f"operating floor {add_floor} (16*k, min 1024). If this "
+                  f"C was calibrated against screen='token0', re-run "
+                  f"calibrate_cascade(screen='additive') — the additive "
+                  f"tier needs a larger C for the same recall.",
+                  file=sys.stderr)
         n_candidates = min(n_candidates, self.n_items)
         _, si = self.top_k(user_indices, n_candidates, seen_mask,
                            _screen=screen if screen == 'additive' else True)
@@ -1013,7 +1079,7 @@ class CatalogScorer:
             self._ensure_screen()
         user_indices = np.asarray(user_indices, np.int32)
         grid = sorted({min(int(c), self.n_items) for c in candidate_grid})
-        _, ei = self.top_k(user_indices, k, seen_mask)
+        _, ei = self.top_k(user_indices, k, seen_mask, _exact=True)
         _, si = self.top_k(user_indices, grid[-1], seen_mask,
                            _screen=screen if screen == 'additive' else True)
         out = {}
@@ -1028,6 +1094,86 @@ class CatalogScorer:
                 total += len(exact)
             out[cc] = hits / max(total, 1)
         return out
+
+    def auto_cascade(self, user_indices: np.ndarray, k: int,
+                     sample_users: int = 512,
+                     recall_target: float = 1.0,
+                     safety: float = 2.0,
+                     seen_mask: Optional[np.ndarray] = None,
+                     max_candidate_frac: float = 0.125) -> Optional[Dict]:
+        """Calibrate and ACTIVATE the cascade for this catalog snapshot.
+
+        Measures screen recall@C on a sample of ``user_indices`` (the
+        actual workload population), picks the cheapest tier/C whose
+        measured recall reaches ``recall_target``, applies a ``safety``
+        factor to C, and installs the plan so subsequent ``top_k`` calls
+        with k' <= k route through the cascade (scores stay exact — the
+        rescore stage is the exact attention math; the plan is grounded
+        in the measured recall, VERDICT r4 #2a). Falls back to the exact
+        full scan (returns None, no plan installed) when no tier reaches
+        the target within ``max_candidate_frac`` of the catalog — a
+        cascade screening an eighth of the catalog has little left to
+        win. Re-run after swapping catalogs or checkpoints.
+
+        The tier choice prefers 'additive' (its screen runs at the concat
+        kernel's ~427M pairs/s vs token0's ~69M) unless token0 reaches the
+        target at a C at least 4x smaller — the rescore stage's cost is
+        linear in C, the screens differ ~6x.
+        """
+        if self._head is None or self._head['fusion'] != 'attention':
+            raise ValueError(
+                'auto_cascade requires the fused attention head '
+                f'(fusion_type={self.model.fusion_type!r})')
+        user_indices = np.asarray(user_indices, np.int32)
+        if len(user_indices) > sample_users:
+            rng = np.random.default_rng(0)
+            pos = rng.choice(len(user_indices), size=sample_users,
+                             replace=False)
+            sample = user_indices[pos]
+            sample_mask = None if seen_mask is None else seen_mask[pos]
+        else:
+            sample, sample_mask = user_indices, seen_mask
+        c_cap = max(int(self.n_items * max_candidate_frac), 1)
+        grid = [c for c in (256, 512, 1024, 2048, 4096, 8192)
+                if c <= c_cap] or [c_cap]
+        chosen = {}
+        for tier in ('additive', 'token0'):
+            rec = self.calibrate_cascade(sample, k, candidate_grid=grid,
+                                         seen_mask=sample_mask, screen=tier)
+            ok = [c for c, r in sorted(rec.items()) if r >= recall_target]
+            if ok:
+                chosen[tier] = (ok[0], rec[ok[0]])
+            if tier == 'additive' and ok and ok[0] <= grid[0] * 4:
+                break  # additive already cheap; skip token0 calibration
+        if not chosen:
+            print(f"auto_cascade: no screen tier reached recall "
+                  f">={recall_target} within C<={grid[-1]} on the "
+                  f"{len(sample)}-user sample — keeping the exact full "
+                  f"scan.", file=sys.stderr)
+            self._cascade_plan = None
+            return None
+        if ('additive' in chosen
+                and ('token0' not in chosen
+                     or chosen['token0'][0] * 4 > chosen['additive'][0])):
+            tier = 'additive'
+        else:
+            tier = 'token0'
+        c0, recall = chosen[tier]
+        n_cand = min(int(c0 * safety), self.n_items)
+        self._cascade_plan = {'screen': tier, 'n_candidates': n_cand,
+                              'k': k, 'recall': recall,
+                              'calibrated_c': c0,
+                              'sample_users': len(sample)}
+        print(f"auto_cascade: screen={tier} C={n_cand} (calibrated "
+              f"recall@{c0}={recall:.4f} at k={k} on {len(sample)} users, "
+              f"safety x{safety:g}) — top_k now routes through the "
+              f"cascade.", file=sys.stderr)
+        return dict(self._cascade_plan)
+
+    def disable_cascade(self) -> None:
+        """Drop an active auto_cascade plan (top_k returns to the exact
+        full scan)."""
+        self._cascade_plan = None
 
     def score_candidates(self, user_indices: np.ndarray,
                          candidate_idx: np.ndarray,

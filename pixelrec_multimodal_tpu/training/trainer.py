@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.checkpointing import load_checkpoint, save_checkpoint
-from ..utils.logging import maybe_wandb_log
+from ..utils.logging import maybe_wandb_log, maybe_wandb_save_checkpoint
 from .optimizers import (
     LRScheduler,
     build_optimizer,
@@ -374,6 +374,10 @@ class Trainer:
         path = save_checkpoint(self.model_checkpoint_dir, filename, state, meta)
         if is_best:
             print(f"Saved best model checkpoint to {path}")
+            # Reference parity: best checkpoints upload to the active
+            # wandb run (reference trainer.py:666-671); no-op when wandb
+            # is absent or no run is active.
+            maybe_wandb_save_checkpoint(path)
 
     def load_checkpoint(self, filename: str):
         """Restore train state + metadata (reference trainer.py:674-716)."""

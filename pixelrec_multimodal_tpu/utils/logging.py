@@ -56,6 +56,23 @@ def maybe_wandb_log(train_metrics: Dict[str, float],
         print(f"Warning: Failed to log to wandb: {e}")
 
 
+def maybe_wandb_save_checkpoint(path) -> bool:
+    """Upload a best-model checkpoint to the active wandb run (reference
+    trainer.py:666-671 wandb.save of the .pth files on best save). Orbax
+    checkpoints are DIRECTORIES, so the upload is a glob over the
+    checkpoint dir with base_path at its parent (preserving the
+    ``<name>/...`` layout in the run files)."""
+    if not _HAS_WANDB or wandb.run is None:
+        return False
+    try:
+        p = Path(path)
+        wandb.save(str(p / '**'), base_path=str(p.parent))
+        return True
+    except Exception as e:
+        print(f"Warning: Failed to save checkpoint to wandb: {e}")
+        return False
+
+
 def maybe_wandb_finish():
     if _HAS_WANDB and wandb.run is not None:
         try:

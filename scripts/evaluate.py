@@ -85,12 +85,17 @@ def find_encoders(config: Config):
     return encoders
 
 
+def cascade_arg(v: str):
+    """--cascade accepts an explicit candidate count or 'auto'."""
+    return 'auto' if v == 'auto' else int(v)
+
+
 def create_recommender(recommender_type: str, config: Config,
                        dataset: MultimodalDataset,
                        train_data: Optional[pd.DataFrame],
                        checkpoint_name: str = 'best_model', mesh=None,
                        precision: str = 'bf16',
-                       cascade: Optional[int] = None,
+                       cascade=None,
                        cascade_screen: str = 'additive'):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
@@ -162,14 +167,20 @@ def main(cli_args=None):
                         help='Retrieval task: rank each user\'s top-K over '
                              'the ENTIRE catalog (blocked fused-scorer '
                              'top-K) instead of a sampled candidate set')
-    parser.add_argument('--cascade', type=int, default=None, metavar='C',
+    parser.add_argument('--cascade', type=cascade_arg, default=None,
+                        metavar='C|auto',
                         help='Attention fusion only: route full-catalog '
                              'top-K through the two-stage cascade (screen '
-                             'top-C + exact rescore). Calibrate recall@C '
-                             'with CatalogScorer.calibrate_cascade first.')
+                             'top-C + exact rescore). "auto" calibrates C '
+                             'and the tier on a user sample (measured '
+                             'recall, exact-scan fallback); an explicit C '
+                             'must be calibrated against the SELECTED '
+                             '--cascade_screen tier with '
+                             'CatalogScorer.calibrate_cascade.')
     parser.add_argument('--cascade_screen', type=str, default='additive',
                         choices=['additive', 'token0'],
-                        help='Cascade screen tier (see '
+                        help='Cascade screen tier for an explicit C '
+                             '(ignored by auto; see '
                              'generate_recommendations.py --cascade_screen)')
     parser.add_argument('--num_negatives', type=int, default=20,
                         help='Number of negative samples per positive item')

@@ -33,9 +33,14 @@ from pixelrec_multimodal_tpu.utils.logging import dump_json
 from evaluate import find_encoders, find_model_checkpoint  # noqa: E402
 
 
+def cascade_arg(v: str):
+    """--cascade accepts an explicit candidate count or 'auto'."""
+    return 'auto' if v == 'auto' else int(v)
+
+
 def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
                         mesh=None, precision: str = 'bf16',
-                        cascade: int = None,
+                        cascade=None,
                         cascade_screen: str = 'additive'):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
@@ -139,20 +144,30 @@ def main(cli_args=None):
                         help='Scoring precision. int8 quantizes the fused '
                              'concat/gated head (calibrated); scores '
                              'are approximate — see BASELINE.md.')
-    parser.add_argument('--cascade', type=int, default=None, metavar='C',
+    parser.add_argument('--cascade', type=cascade_arg, default=None,
+                        metavar='C|auto',
                         help='Attention fusion only: two-stage cascaded '
                              'top-K — screen the catalog with a cheap '
                              'kernel, exact-rescore the top C candidates '
                              'per user. Returned scores are exact; top-K '
                              'equals the full scan whenever screen '
-                             'recall@C covers it (calibrate with '
-                             'CatalogScorer.calibrate_cascade).')
+                             'recall@C covers it. "auto" calibrates C and '
+                             'the screen tier on a user sample (measured '
+                             'recall, falls back to the exact scan); an '
+                             'explicit C must be calibrated against the '
+                             'SELECTED --cascade_screen tier with '
+                             'CatalogScorer.calibrate_cascade — a C '
+                             'calibrated for token0 under-recalls on '
+                             'additive.')
     parser.add_argument('--cascade_screen', type=str, default='additive',
                         choices=['additive', 'token0'],
-                        help='Cascade screen tier: additive (concat-'
-                             'kernel-rate, weakest recall per C) or '
-                             'token0 (exact user-token attention row, '
-                             'stronger recall per C).')
+                        help='Cascade screen tier for an explicit '
+                             '--cascade C: additive (concat-kernel-rate '
+                             'screen, weakest recall per C; operating '
+                             'floor C>=max(16k,1024)) or token0 (exact '
+                             'user-token attention row, stronger recall '
+                             'per C). Ignored by --cascade auto, which '
+                             'picks the tier from measured recall.')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "

@@ -269,6 +269,80 @@ class TestCascadeScorer:
             np.testing.assert_array_equal(ip, iq)
             np.testing.assert_allclose(vp, vn, rtol=1e-4, atol=1e-5)
 
+    def test_additive_floor_warning(self, capsys):
+        """An explicit n_candidates below the additive tier's operating
+        floor warns about re-calibration (ADVICE r4: a C calibrated for
+        token0 silently under-recalls on additive)."""
+        sc = self.make_scorer()
+        users = np.arange(4, dtype=np.int32)
+        sc.top_k_cascade(users, 3, n_candidates=8, screen='additive')
+        assert 'operating floor' in capsys.readouterr().err
+        sc.top_k_cascade(users, 3, n_candidates=8, screen='token0')
+        assert 'operating floor' not in capsys.readouterr().err
+
+    def test_rescore_candidate_axis_chunking(self):
+        """_rescore_attention's candidate-axis sub-blocks (C > 256,
+        C % 256 == 0) produce the same scores as the un-chunked math."""
+        sc = self.make_scorer()
+        rng = np.random.default_rng(7)
+        users = np.arange(4, dtype=np.int32)
+        cand = rng.integers(0, N_ITEMS, (4, 512)).astype(np.int32)
+        got = sc._rescore_blocks(users, cand)
+        want = sc._rescore_blocks(users, cand[:, :256])
+        np.testing.assert_allclose(got[:, :256], want, rtol=1e-5, atol=1e-6)
+        # exact columns: compare a few against score_candidates
+        direct = sc.score_candidates(users, cand[:, :16])
+        np.testing.assert_allclose(got[:, :16], direct, rtol=1e-5, atol=1e-6)
+
+    def test_auto_cascade_installs_plan_and_routes(self, capsys):
+        """auto_cascade on a grid that reaches full coverage installs a
+        plan; top_k then routes through the cascade and (at full
+        coverage) still equals the exact scan; _exact bypasses."""
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        ve, ie = sc.top_k(users, 5)
+        plan = sc.auto_cascade(users, 5, max_candidate_frac=1.0)
+        assert plan is not None
+        assert plan['recall'] == 1.0
+        assert sc._cascade_plan is not None
+        va, ia = sc.top_k(users, 5)          # routed through the cascade
+        np.testing.assert_array_equal(ia, ie)
+        np.testing.assert_allclose(va, ve, rtol=2e-4, atol=2e-5)
+        vx, ix = sc.top_k(users, 5, _exact=True)
+        np.testing.assert_array_equal(ix, ie)
+        # k above the calibrated plan k does NOT route
+        v8, i8 = sc.top_k(users, 8)
+        vx8, ix8 = sc.top_k(users, 8, _exact=True)
+        np.testing.assert_array_equal(i8, ix8)
+        sc.disable_cascade()
+        assert sc._cascade_plan is None
+
+    def test_auto_cascade_falls_back_when_recall_short(self):
+        """With the default max_candidate_frac the 20-item catalog caps
+        the grid at C=2 — recall@2 of a random-init screen cannot cover
+        k=5, so no plan installs and top_k stays the exact scan."""
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        plan = sc.auto_cascade(users, 5)
+        assert plan is None
+        assert sc._cascade_plan is None
+
+    def test_auto_cascade_requires_attention(self):
+        from pixelrec_multimodal_tpu.models.multimodal import (
+            MultimodalRecommender,
+        )
+        model = MultimodalRecommender(
+            n_users=8, n_items=N_ITEMS, n_tags=N_TAGS,
+            num_numerical_features=2, embedding_dim=8,
+            vision_feature_dim=6, language_feature_dim=5,
+            use_contrastive=False, fusion_hidden_dims=(32, 16),
+            fusion_type='concatenate')
+        variables = init_variables(model)
+        sc = CatalogScorer(model, variables, self.store, item_chunk=128,
+                           user_chunk=8)
+        with pytest.raises(ValueError, match='attention'):
+            sc.auto_cascade(np.arange(2, dtype=np.int32), 3)
+
     def test_score_candidates_attention_fast_matches_generic(self):
         sc = self.make_scorer()
         slow = self.make_scorer(fast_path=False)
