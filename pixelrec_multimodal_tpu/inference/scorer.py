@@ -145,6 +145,12 @@ class CatalogScorer:
         # tile optimum.
         self.screen_add_tile_users = 64
         self.screen_add_tile_items = 128
+        # Screen candidate-selection recall (selection v2 in
+        # _fast_topk_body): per-chunk approx_max_k target. Screens feed an
+        # exact rescore with MEASURED recall, so relaxed selection folds
+        # into the calibration like every other screen approximation; the
+        # exact top_k path never uses it.
+        self.screen_selection_recall = 0.95
         self._screen_tail: Optional[jnp.ndarray] = None
         self._screen_add: Optional[jnp.ndarray] = None
         self._screen_add_head_cache: Optional[dict] = None
@@ -608,8 +614,7 @@ class CatalogScorer:
                        for a in item_fast)
         offsets = base + jnp.arange(num_chunks, dtype=jnp.int32) * C
 
-        def body(carry, xs):
-            chunk, off = xs
+        def masked_scores(chunk, off):
             s = self._fast_pair_scores(user_side_p, chunk, B, screen=screen)
             cidx = off + jnp.arange(C, dtype=jnp.int32)  # [C] global ids
             invalid = cidx[None, :] >= self.n_items       # padding
@@ -617,7 +622,38 @@ class CatalogScorer:
                 hits = jnp.any(
                     seen_items[:, :, None] == cidx[None, None, :], axis=1)
                 invalid = invalid | hits
-            s = jnp.where(invalid, NEG_INF, s)
+            return jnp.where(invalid, NEG_INF, s), cidx
+
+        if screen and 64 < k <= C and num_chunks > 1:
+            # SCREEN selection v2 (round-5 measurement): the exact running
+            # merge (concat carry + approx_max_k(recall=1.0)) costs more
+            # at screen-sized k than the screen kernel saves — the token0
+            # screen scan measured 45M pairs/s against its 67-70M
+            # kernel-only rate at C=400, and the additive tier 85M against
+            # a 427M kernel at C=1024. Screens feed an EXACT rescore whose
+            # recall is MEASURED (calibrate_cascade), so the selection may
+            # be approximate: collect each chunk's local top-k at a
+            # relaxed recall target (TPU PartialReduce gets cheaper as
+            # the target drops), stack, and rank once at the end. The
+            # per-chunk union contains the global screen top-k up to the
+            # relaxed target's misses — which land in the calibrated
+            # recall like every other screen approximation.
+            def body(_, xs):
+                chunk, off = xs
+                s, cidx = masked_scores(chunk, off)
+                v, pos = jax.lax.approx_max_k(
+                    s, k, recall_target=self.screen_selection_recall)
+                return None, (v, cidx[pos])
+
+            _, (vs, is_) = jax.lax.scan(body, None, (chunks, offsets))
+            v_all = vs.transpose(1, 0, 2).reshape(B, num_chunks * k)
+            i_all = is_.transpose(1, 0, 2).reshape(B, num_chunks * k)
+            v, pos = jax.lax.top_k(v_all, k)
+            return v, jnp.take_along_axis(i_all, pos, axis=-1)
+
+        def body(carry, xs):
+            chunk, off = xs
+            s, cidx = masked_scores(chunk, off)
             idx = jnp.broadcast_to(cidx[None, :], (B, C))
             return merge_topk(*carry, s, idx, k), None
 
@@ -765,7 +801,8 @@ class CatalogScorer:
                 for fn in (type(self)._topk_scan_fast,
                            type(self)._score_full_fast,
                            type(self)._topk_scan_screen,
-                           type(self)._topk_scan_screen_add):
+                           type(self)._topk_scan_screen_add,
+                           type(self)._cascade_block):
                     try:
                         fn.clear_cache()
                     except AttributeError:
@@ -929,10 +966,9 @@ class CatalogScorer:
             add = jax.device_put(add, item_table_sharding(self.mesh))
         self._screen_add = add
 
-    @partial(jax.jit, static_argnums=0)
-    def _rescore_attention(self, variables, item_fast,
-                           user_idx: jnp.ndarray,
-                           cand_idx: jnp.ndarray) -> jnp.ndarray:
+    def _rescore_attention_body(self, variables, item_fast,
+                                user_idx: jnp.ndarray,
+                                cand_idx: jnp.ndarray) -> jnp.ndarray:
         """[B] users x [B, C] candidate ids -> EXACT attention scores.
 
         Gathers the per-item attention tables at the candidate ids and
@@ -953,13 +989,24 @@ class CatalogScorer:
         B, C = cand_idx.shape
         user_emb = self.model.apply(variables, user_idx, method='user_tower')
         user_side = compute_user_side_attention(head, user_emb)[:5]
-        SB = min(B, 64)
-        nb = B // SB
         # Candidate-axis sub-blocks: the additive tier's default C=1024
         # would otherwise put ~0.7 GB f32 of per-sub-block transients on
         # the heap per einsum (ADVICE r4).
         CC = 256 if C % 256 == 0 and C > 256 else C
         ncc = C // CC
+        # User sub-blocks sized to ~0.7 GB of [SB, CC, T, H, dp] f32
+        # transients: round-5 measured the original 64-user sub-blocks at
+        # ~0.3M pairs/s (the scan serialized tiny einsums/matmuls —
+        # rescore cost half the token0 cascade wall); 512-user blocks
+        # give the einsums MXU-worthy shapes at the same peak memory the
+        # candidate chunking already budgets for.
+        T = head['n_item_mods'] + 1
+        per_user = CC * T * head['H'] * head['dp'] * 4
+        cap = max(64, (700 << 20) // max(per_user, 1))
+        SB = 1
+        while SB * 2 <= min(B, cap):
+            SB *= 2
+        nb = B // SB
         us = tuple(a.reshape((nb, SB) + a.shape[1:]) for a in user_side)
         ci = cand_idx.reshape(nb, SB, C)
         tabs = item_fast[:5]
@@ -979,6 +1026,35 @@ class CatalogScorer:
 
         _, out = jax.lax.scan(body, None, (us, ci))
         return out.reshape(B, C)
+
+    @partial(jax.jit, static_argnums=0)
+    def _rescore_attention(self, variables, item_fast,
+                           user_idx: jnp.ndarray,
+                           cand_idx: jnp.ndarray) -> jnp.ndarray:
+        return self._rescore_attention_body(variables, item_fast,
+                                            user_idx, cand_idx)
+
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _cascade_block(self, variables, tables, user_idx: jnp.ndarray,
+                       seen_items: jnp.ndarray, k: int, n_cand: int,
+                       screen) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The WHOLE cascade for one user block as ONE compiled program:
+        screen scan -> top-C candidate selection -> exact rescore ->
+        final exact top-k. Device-resident staging (round-5 measurement:
+        the two-dispatch host path fetched the [B, C] candidate matrix —
+        up to 67 MB — through the tunnel and re-uploaded it for rescore,
+        costing seconds per block). ``tables`` = (screen_tables,
+        item_fast)."""
+        screen_tables, item_fast = tables
+        sv, si = self._fast_topk_body(variables, screen_tables, user_idx,
+                                      seen_items, n_cand, jnp.int32(0),
+                                      screen=screen)
+        scores = self._rescore_attention_body(
+            variables, item_fast, user_idx, jnp.maximum(si, 0))
+        scores = jnp.where(si < 0, NEG_INF, scores)
+        v, pos = jax.lax.top_k(scores, k)
+        i = jnp.take_along_axis(si, pos, axis=1)
+        return v, jnp.where(v <= NEG_INF / 2, -1, i)
 
     def _rescore_blocks(self, user_indices: np.ndarray,
                         cand_idx: np.ndarray) -> np.ndarray:
@@ -1052,15 +1128,56 @@ class CatalogScorer:
                   f"tier needs a larger C for the same recall.",
                   file=sys.stderr)
         n_candidates = min(n_candidates, self.n_items)
-        _, si = self.top_k(user_indices, n_candidates, seen_mask,
-                           _screen=screen if screen == 'additive' else True)
-        scores = self._rescore_blocks(user_indices, si)
-        scores = np.where(si < 0, float(NEG_INF), scores).astype(np.float32)
-        pos = np.argsort(-scores, kind='stable', axis=1)[:, :k]
-        v = np.take_along_axis(scores, pos, axis=1)
-        i = np.take_along_axis(si, pos, axis=1).copy()
-        i[v <= float(NEG_INF) / 2] = -1
-        return v, i
+        if self.mesh is not None:
+            # Meshed path stays two-stage: per-shard screen + all-gather
+            # merge, then the sharded-table rescore.
+            _, si = self.top_k(user_indices, n_candidates, seen_mask,
+                               _screen=screen if screen == 'additive'
+                               else True)
+            scores = self._rescore_blocks(user_indices, si)
+            scores = np.where(si < 0, float(NEG_INF),
+                              scores).astype(np.float32)
+            pos = np.argsort(-scores, kind='stable', axis=1)[:, :k]
+            v = np.take_along_axis(scores, pos, axis=1)
+            i = np.take_along_axis(si, pos, axis=1).copy()
+            i[v <= float(NEG_INF) / 2] = -1
+            return v, i
+        # Single-device: the whole cascade is one compiled block
+        # (_cascade_block) — one dispatch, [B, k] fetch.
+        if screen == 'additive':
+            screen_tables = (self._screen_add,)
+            sflag = 'additive'
+        else:
+            screen_tables = self._item_fast + (self._screen_tail,)
+            sflag = True
+        tables = (screen_tables, self._item_fast)
+        chunk = self.user_chunk
+        for c in self._BLOCK_CLASSES:
+            if c >= len(user_indices) and c <= self.user_chunk:
+                chunk = c
+                break
+        out_v, out_i = [], []
+        for s in range(0, len(user_indices), chunk):
+            users = user_indices[s:s + chunk]
+            B = len(users)
+            users_p = np.concatenate(
+                [users, np.full(chunk - B, users[0], np.int32)])
+            if seen_mask is not None:
+                block = seen_mask[s:s + chunk]
+                rows = [np.flatnonzero(r) for r in block]
+                H = self._seen_pad(max((len(r) for r in rows), default=0))
+                seen = np.full((chunk, H), -1, dtype=np.int32)
+                for bi, r in enumerate(rows):
+                    seen[bi, :len(r)] = r
+            else:
+                seen = np.zeros((chunk, 0), dtype=np.int32)
+            v, i = self._with_tile_backoff(
+                lambda: self._cascade_block(
+                    self.variables, tables, jnp.asarray(users_p),
+                    jnp.asarray(seen), k, n_candidates, sflag))
+            out_v.append(np.asarray(v)[:B])
+            out_i.append(np.asarray(i)[:B])
+        return np.concatenate(out_v), np.concatenate(out_i)
 
     def calibrate_cascade(self, user_indices: np.ndarray, k: int,
                           candidate_grid=(128, 256, 512, 1024),
@@ -1100,7 +1217,8 @@ class CatalogScorer:
                      recall_target: float = 1.0,
                      safety: float = 2.0,
                      seen_mask: Optional[np.ndarray] = None,
-                     max_candidate_frac: float = 0.125) -> Optional[Dict]:
+                     max_candidate_frac: float = 0.125,
+                     min_speedup: float = 1.05) -> Optional[Dict]:
         """Calibrate and ACTIVATE the cascade for this catalog snapshot.
 
         Measures screen recall@C on a sample of ``user_indices`` (the
@@ -1113,7 +1231,10 @@ class CatalogScorer:
         full scan (returns None, no plan installed) when no tier reaches
         the target within ``max_candidate_frac`` of the catalog — a
         cascade screening an eighth of the catalog has little left to
-        win. Re-run after swapping catalogs or checkpoints.
+        win — or when the calibrated cascade does not MEASURE at least
+        ``min_speedup`` x the exact scan on the sample (a cascade that
+        loses to the scan it screens for is a pure regression). Re-run
+        after swapping catalogs or checkpoints.
 
         The tier choice prefers 'additive' (its screen runs at the concat
         kernel's ~427M pairs/s vs token0's ~69M) unless token0 reaches the
@@ -1160,14 +1281,43 @@ class CatalogScorer:
             tier = 'token0'
         c0, recall = chosen[tier]
         n_cand = min(int(c0 * safety), self.n_items)
+        # MEASURED speedup gate: a cascade that does not beat the exact
+        # scan on this hardware/geometry is a pure loss (round-5 baseline
+        # measurement: the round-4 cascade shipped at 0.3-0.5x the exact
+        # scan end-to-end). Time both on the sample (steady state: one
+        # untimed warm call each for the compiles) and only install the
+        # plan when the cascade wins with margin.
+        import time as _time
+        self.top_k(sample, k, seen_mask=sample_mask, _exact=True)
+        t0 = _time.time()
+        self.top_k(sample, k, seen_mask=sample_mask, _exact=True)
+        t_exact = _time.time() - t0
+        self.top_k_cascade(sample, k, n_candidates=n_cand,
+                           seen_mask=sample_mask, screen=tier,
+                           _calibrated=True)
+        t0 = _time.time()
+        self.top_k_cascade(sample, k, n_candidates=n_cand,
+                           seen_mask=sample_mask, screen=tier,
+                           _calibrated=True)
+        t_casc = _time.time() - t0
+        speedup = t_exact / max(t_casc, 1e-9)
+        if speedup < min_speedup:
+            print(f"auto_cascade: screen={tier} C={n_cand} reaches recall "
+                  f"{recall:.4f} but measured only {speedup:.2f}x the "
+                  f"exact scan on the {len(sample)}-user sample — keeping "
+                  f"the exact full scan.", file=sys.stderr)
+            self._cascade_plan = None
+            return None
         self._cascade_plan = {'screen': tier, 'n_candidates': n_cand,
                               'k': k, 'recall': recall,
                               'calibrated_c': c0,
-                              'sample_users': len(sample)}
+                              'sample_users': len(sample),
+                              'measured_speedup': round(speedup, 3)}
         print(f"auto_cascade: screen={tier} C={n_cand} (calibrated "
               f"recall@{c0}={recall:.4f} at k={k} on {len(sample)} users, "
-              f"safety x{safety:g}) — top_k now routes through the "
-              f"cascade.", file=sys.stderr)
+              f"safety x{safety:g}, measured {speedup:.2f}x the exact "
+              f"scan) — top_k now routes through the cascade.",
+              file=sys.stderr)
         return dict(self._cascade_plan)
 
     def disable_cascade(self) -> None:

@@ -184,6 +184,55 @@ def xla_attention_screen_scores(head: dict,
     return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
 
 
+def xla_attention_screen_candidate_scores(
+        head: dict, user_side: Tuple[jnp.ndarray, ...],
+        cand_side: Tuple[jnp.ndarray, ...],
+        cand_tail: jnp.ndarray) -> jnp.ndarray:
+    """Token0-screen scores for per-user CANDIDATE lists: -> [B, C].
+
+    The gathered counterpart of xla_attention_screen_scores — the middle
+    stage of the 3-stage hybrid cascade (additive screen over the catalog
+    -> token0 screen over its survivors -> exact rescore). cand_side
+    carries gathered (it_k [B, C, Mi*dp], it_vo [B, C, Mi*H*dp]) rows;
+    cand_tail the gathered screen tail [B, C, dp]. Identical math to the
+    all-pairs screen at the gathered columns (unit-tested).
+    """
+    act = activation_fn(head['activation'])
+    d, dp, H, dh = head['d'], head['dp'], head['H'], head['dh']
+    Mi = head['n_item_mods']
+    T = Mi + 1
+    u_raw, u_q, _u_k, u_vo, u_suu = user_side[:5]
+    it_k, it_vo = cand_side
+    B, C = it_k.shape[:2]
+
+    uq = u_q[:, :d].reshape(B, H, dh)
+    ik = it_k.reshape(B, C, Mi, dp)[..., :d].reshape(B, C, Mi, H, dh)
+    s_items = jnp.einsum('bhd,bcmhd->bchm', uq, ik)      # [B, C, H, Mi]
+    s = jnp.concatenate(
+        [jnp.broadcast_to(u_suu[:, None, :H, None], (B, C, H, 1)), s_items],
+        axis=-1)
+    w = jax.nn.softmax(s, axis=-1)
+
+    vo_u = u_vo.reshape(B, H, dp)[..., :d]
+    vo_i = it_vo.reshape(B, C, Mi, H, dp)[..., :d]
+    attn = (jnp.einsum('bch,bhd->bcd', w[..., 0], vo_u)
+            + jnp.einsum('bchm,bcmhd->bcd', w[..., 1:], vo_i))
+
+    y0 = u_raw[:, None, :d] + attn
+    mu = jnp.mean(y0, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y0 - mu), axis=-1, keepdims=True)
+    yn = (y0 - mu) * jax.lax.rsqrt(var + LN_EPS)
+    fused = (yn * (head['ln_scale'] / T) + head['ln_bias']
+             + cand_tail[..., :d])
+
+    x = act(fused.reshape(B * C, d) @ head['w1'][:d] + head['b1'])
+    for i, (wl, bl) in enumerate(head['layers']):
+        x = x @ wl + bl
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
+
+
 # ------------------------------------------------------- exact rescoring
 def xla_attention_candidate_scores(head: dict,
                                    user_side: Tuple[jnp.ndarray, ...],

@@ -696,6 +696,194 @@ def pallas_pairwise_scores_gated(head: dict, user_first: jnp.ndarray,
       *layer_args)
 
 
+# ------------------------------------------------- factored gated kernel
+# Experiment (VERDICT r4 #5): the gated kernel's binding term is the
+# first-layer ASSEMBLY — per pair, Mi+1 gate-weighted h1-wide multiply-adds
+# on the VPU (~4.1k element-ops/pair; BASELINE.md gated roofline). The
+# softmax gate factorizes per side:
+#     g_m = exp(ug_m + ig_m) / Z = a_m[user] * b_m[item] / Z,
+#     a = exp(ug - max(ug)),  b = exp(ig - max(ig)),  Z = sum_m a_m b_m
+# (the per-side max subtractions cancel in the ratio), so the item part of
+# the assembly becomes a CONTRACTION of a per-user coefficient row against
+# catalog-precomputed b_m-scaled first-layer tables:
+#     x1 = ( a_0 b_0 * uf  +  a[1:] @ T[item] ) / Z,   T[m] = b_m * if_m
+# — one [TB, GATE_PAD] x [GATE_PAD, TC*LANE] MXU matmul per lane block
+# instead of Mi VPU multiply-adds, cutting the per-pair VPU work to
+# ~2 h1-wide ops (p0*uf add + /Z scale) + ~10 [TB,TC] plane ops (vs the
+# exact kernel's ~29 softmax plane ops). Numerics: products of per-side
+# exps differ from the pairwise exp by f32 ulps; Z >= exp(-per-side logit
+# range) so the 1e-30 floor never binds for trained gate Denses. The
+# coefficient/table matmul runs in T's dtype (bf16 default — the MLP chain
+# is bf16 anyway; pass f32 tables to isolate quantization).
+
+
+def factor_gated_user(head: dict, user_first: jnp.ndarray,
+                      user_gates: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+    """(user_first, a [B, GATE_PAD]) — exp'd max-subtracted user gate
+    coefficients; padding slots are ZERO so they drop out of Z and the
+    table contraction."""
+    n_mod = head['n_item_mods'] + 1
+    ug = user_gates[:, :n_mod].astype(jnp.float32)
+    a = jnp.exp(ug - jnp.max(ug, axis=1, keepdims=True))
+    return user_first, _pad_gates(a)
+
+
+def factor_gated_tables(head: dict, item_first: jnp.ndarray,
+                        item_gates: jnp.ndarray,
+                        table_dtype=jnp.bfloat16
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-catalog factored tables from the standard gated tables.
+
+    Returns (T4 [h1/LANE, GATE_PAD, N*LANE], igb [GATE_PAD, N]).
+    T4[blk, m] holds modality (m-1)'s b_m-scaled first-layer lane block
+    laid item-major (row 0 = user slot = zeros, so the kernel contracts
+    the FULL coefficient row with no slicing); igb holds the exp'd
+    item-side gate rows (f32 — Z wants full precision), zero on padding
+    slots.
+    """
+    Mi = head['n_item_mods']
+    n_mod = Mi + 1
+    h1 = head['h1']
+    N = item_first.shape[0]
+    nblk = h1 // LANE
+    ig = item_gates[:, :n_mod].astype(jnp.float32)
+    b = jnp.exp(ig - jnp.max(ig, axis=1, keepdims=True))      # [N, n_mod]
+    igb = jnp.zeros((GATE_PAD, N), jnp.float32).at[:n_mod].set(b.T)
+    ifb = (item_first.reshape(N, Mi, nblk, LANE)
+           * b[:, 1:, None, None]).astype(table_dtype)        # [N,Mi,blk,L]
+    T4 = jnp.zeros((nblk, GATE_PAD, N * LANE), table_dtype)
+    T4 = T4.at[:, 1:n_mod].set(
+        ifb.transpose(2, 1, 0, 3).reshape(nblk, Mi, N * LANE))
+    return T4, igb
+
+
+def _gated_factored_kernel(uf_ref, a_ref, igb_ref, t4_ref, *layer_refs,
+                           out_ref, x_scr, n_layers, n_item_mods, h1,
+                           activation, final_activation, compute_dtype,
+                           n_quant=0):
+    """Factored gated pair scoring: plane math for Z + one small-K MXU
+    matmul per lane block for the item assembly."""
+    act = activation_fn(activation)
+    f32 = jnp.float32
+    uf = uf_ref[:].astype(f32)       # [TB, h1]
+    a = a_ref[:]                     # [TB, GATE_PAD] f32
+    igb = igb_ref[:]                 # [GATE_PAD, TC] f32
+    TB = uf.shape[0]
+    TC = igb.shape[1]
+    n_mod = n_item_mods + 1
+
+    def arow(m):
+        return jnp.broadcast_to(
+            jax.lax.slice(a, (0, m), (TB, m + 1)), (TB, TC))
+
+    def brow(m):
+        return jnp.broadcast_to(
+            jax.lax.slice(igb, (m, 0), (m + 1, TC)), (TB, TC))
+
+    p0 = arow(0) * brow(0)
+    z = p0
+    for m in range(1, n_mod):
+        z = z + arow(m) * brow(m)
+    inv = 1.0 / jnp.maximum(z, 1e-30)
+
+    a_mm = a.astype(t4_ref.dtype)
+    for blk in range(h1 // LANE):
+        lo = blk * LANE
+        rhs = t4_ref[blk]            # [GATE_PAD, TC*LANE]
+        r = jax.lax.dot_general(a_mm, rhs, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        r = r.reshape(TB, TC, LANE)  # minor split, lane width preserved
+        x = (p0[:, :, None] * uf[:, None, lo:lo + LANE] + r) * inv[:, :, None]
+        x_scr[:, lo:lo + LANE] = act(
+            x).astype(compute_dtype).reshape(TB * TC, LANE)
+    if n_quant:
+        w_last = layer_refs[2 * n_quant][:]
+        b_last = layer_refs[2 * n_quant + 1][:]
+        scores = _mlp_chain_int8(
+            x_scr[:], layer_refs, w_last[:, 0].astype(f32),
+            b_last[0].astype(f32), n_quant, act, final_activation)
+    else:
+        scores = _mlp_chain(x_scr[:], layer_refs, n_layers, act,
+                            final_activation, compute_dtype)
+    out_ref[:] = scores.reshape(TB, TC)
+
+
+def pallas_pairwise_scores_gated_factored(
+        head: dict, user_first: jnp.ndarray, user_coefs: jnp.ndarray,
+        t4: jnp.ndarray, igb: jnp.ndarray,
+        tile_users: int = 32, tile_items: int = 128,
+        compute_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """Fused FACTORED gated pair scoring on TPU.
+
+    user_first [B, h1] (b1 folded), user_coefs [B, GATE_PAD]
+    (factor_gated_user), t4/igb from factor_gated_tables;
+    B % tile_users == 0 and N % tile_items == 0.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, h1 = user_first.shape
+    N = igb.shape[1]
+    nblk = h1 // LANE
+    n_layers = len(head['layers'])
+    grid = (B // tile_users, N // tile_items)
+
+    layer_specs, layer_args = [], []
+    qlayers = head.get('qlayers')
+    if qlayers is not None:
+        for q in qlayers:
+            layer_specs.append(pl.BlockSpec(q['wq'].shape,
+                                            lambda i, j: (0, 0)))
+            layer_specs.append(pl.BlockSpec(q['params'].shape,
+                                            lambda i, j: (0, 0)))
+            layer_args.extend([q['wq'], q['params']])
+        w, b = head['layers'][-1]
+        layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+        layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+        layer_args.extend([w, b])
+    else:
+        for w, b in head['layers']:
+            layer_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0)))
+            layer_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,)))
+            layer_args.extend([w, b])
+
+    kernel = functools.partial(
+        _gated_factored_kernel, n_layers=n_layers,
+        n_item_mods=head['n_item_mods'], h1=h1,
+        activation=head['activation'],
+        final_activation=head['final_activation'],
+        compute_dtype=compute_dtype,
+        n_quant=len(qlayers) if qlayers is not None else 0)
+
+    def wrapped(uf_ref, a_ref, igb_ref, t4_ref, *rest):
+        *layer_refs, out_ref, x_scr = rest
+        kernel(uf_ref, a_ref, igb_ref, t4_ref, *layer_refs,
+               out_ref=out_ref, x_scr=x_scr)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_users, h1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_users, GATE_PAD), lambda i, j: (i, 0)),
+            pl.BlockSpec((GATE_PAD, tile_items), lambda i, j: (0, j)),
+            pl.BlockSpec((nblk, GATE_PAD, tile_items * LANE),
+                         lambda i, j: (0, 0, j)),
+            *layer_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_users, tile_items),
+                               lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_users * tile_items, h1), compute_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(user_first, user_coefs, igb, t4, *layer_args)
+
+
 def compute_item_first(head: dict, item_flat: jnp.ndarray) -> jnp.ndarray:
     """Per-item first-layer part, computed once per catalog:
     item_flat [N, D_item] @ W_item + b1 (the bias folds in here so the

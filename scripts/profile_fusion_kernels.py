@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -148,6 +149,55 @@ def main():
                 pallas_pairwise_scores_gated(head, uf, ug, itf, ig, **kw))
 
         timed('gated', lambda: run_gated(uf, ug, itf, ig), pairs)
+
+    if which in ('gated_factored', 'all'):
+        # Factored gated kernel (VERDICT r4 #5): per-side exp coefficients
+        # + small-K MXU table contraction replace the per-pair VPU
+        # assembly. A/B at bf16 (production) and f32 tables.
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            factor_gated_tables,
+            factor_gated_user,
+            pallas_pairwise_scores_gated_factored,
+        )
+        head = dict(base, n_item_mods=MI, b1_folded=True)
+        uf = jnp.asarray(rng.standard_normal((B, H1)), jnp.float32)
+        ug = jnp.zeros((B, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((B, MI + 1)), jnp.float32))
+        itf = jnp.asarray(rng.standard_normal((C, MI * H1)), jnp.float32)
+        ig = jnp.zeros((C, GATE_PAD), jnp.float32).at[:, :MI + 1].set(
+            jnp.asarray(rng.standard_normal((C, MI + 1)), jnp.float32))
+        kw = {}
+        if tb:
+            kw = {'tile_users': tb, 'tile_items': tc or 128}
+        ufx, a = jax.jit(partial(factor_gated_user, head))(uf, ug)
+        for dt_name, dt in (('bf16', jnp.bfloat16), ('f32', jnp.float32)):
+            t4, igb = jax.jit(partial(factor_gated_tables, head,
+                                      table_dtype=dt))(itf, ig)
+
+            @jax.jit
+            def run_fact(ufx, a, t4, igb):
+                return jnp.sum(pallas_pairwise_scores_gated_factored(
+                    head, ufx, a, t4, igb, **kw))
+
+            timed(f'gated_factored_{dt_name}',
+                  lambda: run_fact(ufx, a, t4, igb), pairs)
+            # agreement vs the exact gated kernel on a slice
+            from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+                xla_pairwise_scores_gated,
+            )
+            sc_f = np.asarray(pallas_pairwise_scores_gated_factored(
+                head, ufx[:64], a[:64], t4[:, :, :1024 * 128],
+                igb[:, :1024], **kw))
+            sc_x = np.asarray(jax.jit(partial(
+                xla_pairwise_scores_gated, head))(
+                    uf[:64], ug[:64], itf[:1024], ig[:1024]))
+            top_f = np.argsort(-sc_f, axis=1)[:, :20]
+            top_x = np.argsort(-sc_x, axis=1)[:, :20]
+            agree = np.mean([len(set(p.tolist()) & set(q.tolist())) / 20
+                             for p, q in zip(top_f, top_x)])
+            log(f"gated_factored_{dt_name}: max|d|="
+                f"{np.max(np.abs(sc_f - sc_x)):.2e} top20 set agreement "
+                f"{agree:.4f}")
 
     if which in ('gated_int8', 'all'):
         from pixelrec_multimodal_tpu.ops.pairwise_mlp import (

@@ -301,7 +301,8 @@ class TestCascadeScorer:
         sc = self.make_scorer()
         users = np.arange(6, dtype=np.int32)
         ve, ie = sc.top_k(users, 5)
-        plan = sc.auto_cascade(users, 5, max_candidate_frac=1.0)
+        plan = sc.auto_cascade(users, 5, max_candidate_frac=1.0,
+                               min_speedup=0.0)
         assert plan is not None
         assert plan['recall'] == 1.0
         assert sc._cascade_plan is not None
