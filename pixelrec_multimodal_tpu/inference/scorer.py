@@ -246,7 +246,7 @@ class CatalogScorer:
         # MXU-dominated in their chain — scores become approximate
         # (top-K agreement measured in BASELINE.md), so this NEVER
         # defaults on.
-        if precision == 'int8':
+        if precision in ('int8', 'int8!'):
             if self._head is None or model.fusion_type not in (
                     'concatenate', 'gated'):
                 raise ValueError(
@@ -254,6 +254,30 @@ class CatalogScorer:
                     f"gated head (fusion_type={model.fusion_type!r}, "
                     "fast_path head "
                     f"{'missing' if self._head is None else 'present'})")
+            # Auto-precision heuristic (measured flip point, BASELINE.md
+            # int8 section): int8 wins only when the hidden Dense chain
+            # dominates the per-pair [rows, h1] quantize VPU cost —
+            # chain-MXU-FLOPs per first-layer lane below the threshold is
+            # a measured net LOSS (flagship [512,256,128] head: ratio 640,
+            # 0.89x e2e). 'int8!' forces quantization regardless (bench /
+            # research use).
+            from ..ops.pairwise_mlp import (
+                INT8_MIN_CHAIN_FLOPS_PER_LANE,
+                int8_chain_flops_per_lane,
+            )
+            rho = int8_chain_flops_per_lane(self._head)
+            if precision == 'int8' and rho < INT8_MIN_CHAIN_FLOPS_PER_LANE:
+                print(
+                    f"CatalogScorer: precision='int8' requested but the "
+                    f"head geometry is below the measured int8 flip point "
+                    f"(chain FLOPs/lane {rho:.0f} < "
+                    f"{INT8_MIN_CHAIN_FLOPS_PER_LANE} — the per-pair "
+                    f"quantize costs more than the halved MXU time saves; "
+                    f"BASELINE.md int8 section). Serving in exact bf16; "
+                    f"pass precision='int8!' to force.", file=sys.stderr)
+                precision = 'bf16'
+        if precision in ('int8', 'int8!'):
+            precision = 'int8'
             from ..ops.pairwise_mlp import (
                 calibrate_head_ranges,
                 calibrate_head_ranges_gated,
@@ -287,8 +311,8 @@ class CatalogScorer:
                     self._head, uf, self._item_fast[0][cal_items])
             self._head['qlayers'] = quantize_mlp_chain(self._head, ranges)
         elif precision != 'bf16':
-            raise ValueError(f"precision must be 'bf16' or 'int8', "
-                             f"got {precision!r}")
+            raise ValueError(f"precision must be 'bf16', 'int8' or "
+                             f"'int8!' (force), got {precision!r}")
         self.precision = precision
         self._use_pallas = jax.default_backend() == 'tpu'
         if self._head is None and model.fusion_type == 'attention':

@@ -245,9 +245,96 @@ def xla_attention_candidate_scores(head: dict,
     counterpart of xla_attention_scores, and the attention analogue of
     pairwise_mlp.xla_candidate_scores (reference hot path it replaces:
     /root/reference/src/evaluation/tasks.py:529-561). Identical results
-    to score_from_towers in eval mode. Memory scales with
-    [B, C, T, H, dp] — callers chunk the user axis (the scorer scans
-    64-user sub-blocks in-graph).
+    to score_from_towers in eval mode.
+
+    PLANE-FORM implementation (round-5 rework): the original dense form
+    materialized [B, C, H, T, T] logit/softmax tensors whose minor T=5
+    pads to 128 TPU lanes — a 25x lane waste that measured ~0.5M pairs/s
+    and made the whole cascade a net loss. Here every intermediate is a
+    [B, C] plane or a [B, C, dp] lane block (the stream kernel's
+    structure, ops/attention_scorer.py), so the rescore runs at the
+    stream formulation's VPU rate. ``_xla_attention_candidate_scores_
+    dense`` keeps the literal textbook form for cross-validation.
+    """
+    d, dp, H = head['d'], head['dp'], head['H']
+    dh = head['dh']
+    Mi = head['n_item_mods']
+    T = Mi + 1
+    u_raw, u_q, u_k, u_vo, u_suu = user_side[:5]
+    it_raw, it_q, it_k, it_vo, it_sii = cand_side[:5]
+    B, C = it_raw.shape[0], it_raw.shape[1]
+    f32 = jnp.float32
+
+    uq = u_q[:, :d].reshape(B, H, dh).astype(f32)
+    uk = u_k[:, :d].reshape(B, H, dh).astype(f32)
+    iq = it_q.reshape(B, C, Mi, dp)[..., :d].reshape(B, C, Mi, H, dh)
+    ik = it_k.reshape(B, C, Mi, dp)[..., :d].reshape(B, C, Mi, H, dh)
+    sii = it_sii.reshape(B, C, H, Mi, Mi)
+    vo_u = u_vo.reshape(B, H, dp)[..., :d].astype(f32)      # [B, H, d]
+    vo_i = it_vo.reshape(B, C, Mi, H, dp)[..., :d]          # [B, C, Mi, H, d]
+    raw_u = u_raw[:, :d].astype(f32)
+    raw_i = it_raw.reshape(B, C, Mi, dp)[..., :d]
+
+    # attention outputs per query token, accumulated over heads as
+    # [B, C, d] lane blocks; logits/softmax stay [B, C] planes.
+    attn = [jnp.zeros((B, C, d), f32) for _ in range(T)]
+    for h in range(H):
+        # logit planes l[q][k]
+        l_0 = [jnp.broadcast_to(u_suu[:, None, h], (B, C)).astype(f32)]
+        l_0 += [jnp.einsum('bd,bcd->bc', uq[:, h],
+                           ik[:, :, m, h]).astype(f32)
+                for m in range(Mi)]
+        rows = [l_0]
+        for m in range(Mi):
+            l_m = [jnp.einsum('bcd,bd->bc', iq[:, :, m, h],
+                              uk[:, h]).astype(f32)]
+            l_m += [sii[:, :, h, m, mm].astype(f32) for mm in range(Mi)]
+            rows.append(l_m)
+        for q in range(T):
+            planes = rows[q]
+            mx = planes[0]
+            for p in planes[1:]:
+                mx = jnp.maximum(mx, p)
+            es = [jnp.exp(p - mx) for p in planes]
+            tot = es[0]
+            for e in es[1:]:
+                tot = tot + e
+            inv = 1.0 / tot
+            acc = ((es[0] * inv)[:, :, None]
+                   * jnp.broadcast_to(vo_u[:, None, h], (B, C, d)))
+            for m in range(Mi):
+                acc = acc + ((es[m + 1] * inv)[:, :, None]
+                             * vo_i[:, :, m, h].astype(f32))
+            attn[q] = attn[q] + acc
+
+    fused = jnp.zeros((B, C, d), f32)
+    ln_scale = head['ln_scale'].astype(f32)
+    ln_bias = head['ln_bias'].astype(f32)
+    for q in range(T):
+        raw_q = (jnp.broadcast_to(raw_u[:, None, :], (B, C, d)) if q == 0
+                 else raw_i[:, :, q - 1].astype(f32))
+        y = raw_q + attn[q]
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        yn = (y - mu) * jax.lax.rsqrt(var + LN_EPS)
+        fused = fused + (yn * ln_scale + ln_bias)
+    fused = fused * (1.0 / T)
+
+    act = activation_fn(head['activation'])
+    x = act(fused.reshape(B * C, d) @ head['w1'][:d] + head['b1'])
+    for i, (wl, bl) in enumerate(head['layers']):
+        x = x @ wl + bl
+        if i < len(head['layers']) - 1:
+            x = act(x)
+    return _apply_final(x[:, 0], head['final_activation']).reshape(B, C)
+
+
+def _xla_attention_candidate_scores_dense(
+        head: dict, user_side: Tuple[jnp.ndarray, ...],
+        cand_side: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """The literal dense-tensor form of the candidate rescore (original
+    implementation; [B, C, H, T, T] logits). Kept as the cross-check
+    reference for the plane-form production path above.
     """
     act = activation_fn(head['activation'])
     d, dp, H, dh = head['d'], head['dp'], head['H'], head['dh']

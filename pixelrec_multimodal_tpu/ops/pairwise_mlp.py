@@ -206,6 +206,25 @@ def _apply_final(x, final_activation: str):
 # per-column scales. Opt-in via CatalogScorer(precision='int8'); scores are
 # approximate (documented top-K agreement in BASELINE.md), never a default.
 
+# Measured int8 flip point (BASELINE.md int8 section): the hidden chain
+# in int8 is 1.20x bf16 on the MXU, but the per-pair [rows, h1] input
+# quantize is pure VPU cost proportional to h1. Below this many hidden-
+# chain MXU FLOPs per first-layer lane, the quantize costs more than the
+# halved MXU time saves — the flagship [512,256,128] head sits at 640 and
+# measured 0.89x e2e. Threshold from the round-5 wider-head sweep
+# (scripts/bench_int8.py --hidden ...).
+INT8_MIN_CHAIN_FLOPS_PER_LANE = 1000
+
+
+def int8_chain_flops_per_lane(head: dict) -> float:
+    """Hidden-chain MXU FLOPs per pair divided by the first-layer width —
+    the decision metric of the auto-precision heuristic. (The concat head
+    does not carry an explicit 'h1'; the padded first bias has it.)"""
+    chain = sum(2 * w.shape[0] * w.shape[1] for w, _ in head['layers'][:-1])
+    h1 = head.get('h1') or head['b1'].shape[0]
+    return chain / max(h1, 1)
+
+
 def quantize_mlp_chain(head: dict, ranges: Sequence[Tuple[float, float]]
                        ) -> List[dict]:
     """Quantize the hidden layers of a packed head to int8.

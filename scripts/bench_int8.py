@@ -37,6 +37,15 @@ def log(*a):
 
 
 def main():
+    import argparse
+    global HIDDEN
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--hidden', type=str, default='512,256,128',
+                    help='comma-separated prediction-MLP widths (flip-'
+                         'point sweep: try 1024,512,256 / 2048,1024,512)')
+    args = ap.parse_args()
+    HIDDEN = tuple(int(x) for x in args.hidden.split(','))
+    log(f"hidden dims: {HIDDEN}")
     import jax
     import jax.numpy as jnp
     from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
@@ -75,7 +84,7 @@ def main():
 
     results = {}
     topk = {}
-    for name, kw in (('bf16', {}), ('int8', {'precision': 'int8'})):
+    for name, kw in (('bf16', {}), ('int8', {'precision': 'int8!'})):
         scorer = CatalogScorer(model, variables, store, **kw)
         log(f"[{name}] warmup/compile...")
         t0 = time.time()
@@ -101,7 +110,8 @@ def main():
     log(f"bf16 median: {results['bf16']/1e6:.1f}M pairs/s")
     log(f"int8 median: {results['int8']/1e6:.1f}M pairs/s "
         f"({results['int8']/results['bf16']:.2f}x)")
-    print(f'{{"bf16_mps": {results["bf16"]/1e6:.1f}, '
+    print(f'{{"hidden": "{args.hidden}", '
+          f'"bf16_mps": {results["bf16"]/1e6:.1f}, '
           f'"int8_mps": {results["int8"]/1e6:.1f}, '
           f'"top{TOP_K}_set_agreement": {set_agree:.4f}, '
           f'"top10_order_agreement": {order10:.4f}}}')

@@ -197,7 +197,7 @@ def main(cli_args=None):
                         help='Mesh catalog-axis size: shards the item '
                              'tables and full-catalog top-K over devices')
     parser.add_argument('--precision', type=str, default='bf16',
-                        choices=['bf16', 'int8'],
+                        choices=['bf16', 'int8', 'int8!'],
                         help='Scoring precision for the multimodal '
                              'recommender. int8 quantizes the fused '
                              'concat/gated head (approximate scores; '

@@ -140,7 +140,7 @@ def main(cli_args=None):
                         help='Mesh catalog-axis size: shards the item '
                              'tables and full-catalog top-K over devices')
     parser.add_argument('--precision', type=str, default='bf16',
-                        choices=['bf16', 'int8'],
+                        choices=['bf16', 'int8', 'int8!'],
                         help='Scoring precision. int8 quantizes the fused '
                              'concat/gated head (calibrated); scores '
                              'are approximate — see BASELINE.md.')

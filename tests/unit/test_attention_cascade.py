@@ -175,6 +175,27 @@ class TestScreenMath:
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=1e-5, atol=1e-6)
 
+    def test_candidate_scores_plane_form_matches_dense(self):
+        """The plane-form rescore (production; no minor-5 tensors) equals
+        the literal dense-tensor form it replaced."""
+        from pixelrec_multimodal_tpu.ops.attention_cascade import (
+            _xla_attention_candidate_scores_dense,
+        )
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        rng = np.random.default_rng(5)
+        cand = jnp.asarray(rng.integers(0, 128, (16, 11)).astype(np.int32))
+        cand_side = tuple(jnp.take(a, cand, axis=0) for a in item_side[:5])
+        plane = xla_attention_candidate_scores(head, user_side, cand_side)
+        dense = _xla_attention_candidate_scores_dense(head, user_side,
+                                                      cand_side)
+        np.testing.assert_allclose(np.asarray(plane), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_unpack_candidate_rows_roundtrip(self):
         """Packed gather -> unpack equals gathering the padded tables."""
         model = make_model(heads=2, emb=8)

@@ -312,7 +312,7 @@ class TestInt8Head:
         assert np.max(np.abs(q - ref)) < 0.05
 
     def test_scorer_precision_int8(self):
-        """CatalogScorer(precision='int8'): scores close to bf16's, the
+        """CatalogScorer(precision='int8!'): scores close to bf16's, the
         unsupported-fusion case raises."""
         from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
         from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
@@ -332,7 +332,7 @@ class TestInt8Head:
         exact = CatalogScorer(model, variables, store, item_chunk=128,
                               user_chunk=8)
         q = CatalogScorer(model, variables, store, item_chunk=128,
-                          user_chunk=8, precision='int8')
+                          user_chunk=8, precision='int8!')
         assert q._head.get('qlayers') is not None
 
         users = np.arange(4, dtype=np.int32)
@@ -351,7 +351,7 @@ class TestInt8Head:
         avars = init_variables(attn)
         with pytest.raises(ValueError, match='int8'):
             CatalogScorer(attn, avars, store, item_chunk=128,
-                          user_chunk=8, precision='int8')
+                          user_chunk=8, precision='int8!')
 
     def test_scorer_precision_int8_gated(self):
         """Gated fusion quantizes too: full scores and candidate scores
@@ -374,7 +374,7 @@ class TestInt8Head:
         exact = CatalogScorer(model, variables, store, item_chunk=128,
                               user_chunk=8)
         q = CatalogScorer(model, variables, store, item_chunk=128,
-                          user_chunk=8, precision='int8')
+                          user_chunk=8, precision='int8!')
         assert q._head.get('qlayers') is not None
 
         users = np.arange(4, dtype=np.int32)
@@ -413,6 +413,76 @@ class TestInt8Head:
                                            interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestInt8AutoPrecision:
+    """The measured-flip-point heuristic (VERDICT r4 #4): precision='int8'
+    only engages where the hidden chain dominates; 'int8!' forces."""
+
+    def _store(self):
+        from pixelrec_multimodal_tpu.data.feature_store import (
+            ItemFeatureStore,
+        )
+        rng = np.random.default_rng(7)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS)
+                                   % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+        return store
+
+    def test_flagship_ratio_value(self):
+        """The decision metric at the flagship [512,256,128] head is 640
+        (below threshold -> bf16 fallback), pinning the BASELINE.md
+        accounting."""
+        from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+            INT8_MIN_CHAIN_FLOPS_PER_LANE,
+            int8_chain_flops_per_lane,
+        )
+        head = {'h1': 512, 'layers': [
+            (np.zeros((512, 256)), np.zeros(256)),
+            (np.zeros((256, 128)), np.zeros(128)),
+            (np.zeros((128, 128)), np.zeros(128)),
+        ]}
+        assert int8_chain_flops_per_lane(head) == 640
+        assert 640 < INT8_MIN_CHAIN_FLOPS_PER_LANE
+
+    def test_below_flip_point_falls_back_with_warning(self, capsys):
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+        model = make_model()  # (32,16) head: ratio 32, far below
+        variables = init_variables(model)
+        sc = CatalogScorer(model, variables, self._store(), item_chunk=128,
+                           user_chunk=8, precision='int8')
+        assert sc.precision == 'bf16'
+        assert sc._head.get('qlayers') is None
+        assert 'flip point' in capsys.readouterr().err
+
+    def test_force_engages_below_flip_point(self):
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+        model = make_model()
+        variables = init_variables(model)
+        sc = CatalogScorer(model, variables, self._store(), item_chunk=128,
+                           user_chunk=8, precision='int8!')
+        assert sc.precision == 'int8'
+        assert sc._head.get('qlayers') is not None
+
+    def test_above_flip_point_engages(self):
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+        model = MultimodalRecommender(
+            n_users=N_USERS, n_items=N_ITEMS, n_tags=N_TAGS,
+            num_numerical_features=2, embedding_dim=8,
+            vision_feature_dim=6, language_feature_dim=5,
+            use_contrastive=False, fusion_hidden_dims=(4, 512),
+            fusion_type='concatenate', use_batch_norm=False)
+        variables = init_variables(model)
+        sc = CatalogScorer(model, variables, self._store(), item_chunk=128,
+                           user_chunk=8, precision='int8')
+        assert sc.precision == 'int8'
+        assert sc._head.get('qlayers') is not None
 
 
 class TestGatedFactoredKernel:

@@ -205,10 +205,10 @@ class TestShardedScorer:
         math; only the sharding differs)."""
         model, variables, store = _setup(fusion_type)
         base = CatalogScorer(model, variables, store, item_chunk=64,
-                             user_chunk=8, precision='int8')
+                             user_chunk=8, precision='int8!')
         mesh = make_mesh(model_parallel=2)
         sharded = CatalogScorer(model, variables, store, item_chunk=64,
-                                user_chunk=8, mesh=mesh, precision='int8')
+                                user_chunk=8, mesh=mesh, precision='int8!')
         users = np.asarray([0, 3, 7, 11, 19, 30], np.int32)
         v0, i0 = base.top_k(users, 10)
         v1, i1 = sharded.top_k(users, 10)
