@@ -807,9 +807,16 @@ def _gated_factored_kernel(uf_ref, a_ref, igb_ref, t4_ref, *layer_refs,
     inv = 1.0 / jnp.maximum(z, 1e-30)
 
     a_mm = a.astype(t4_ref.dtype)
+    # Whole-block load is small (nblk * GATE_PAD * TC * LANE: ~1MB bf16 at
+    # 128-item tiles); integer ref indexing (t4_ref[blk]) lowers through
+    # jnp's gather path, which Mosaic rejects — slice the VALUE instead.
+    t4 = t4_ref[:]
+    nlane = t4.shape[-1]
     for blk in range(h1 // LANE):
         lo = blk * LANE
-        rhs = t4_ref[blk]            # [GATE_PAD, TC*LANE]
+        rhs = jax.lax.slice(t4, (blk, 0, 0),
+                            (blk + 1, GATE_PAD, nlane)).reshape(
+            GATE_PAD, nlane)         # [GATE_PAD, TC*LANE]
         r = jax.lax.dot_general(a_mm, rhs, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)
         r = r.reshape(TB, TC, LANE)  # minor split, lane width preserved
