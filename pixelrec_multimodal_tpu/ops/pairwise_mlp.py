@@ -820,7 +820,10 @@ def _gated_factored_kernel(uf_ref, a_ref, igb_ref, t4_ref, *layer_refs,
         r = jax.lax.dot_general(a_mm, rhs, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)
         r = r.reshape(TB, TC, LANE)  # minor split, lane width preserved
-        x = (p0[:, :, None] * uf[:, None, lo:lo + LANE] + r) * inv[:, :, None]
+        # two-step slice-then-newaxis (the [:, None, lo:lo+LANE] combined
+        # form lowers through jnp's gather path — Mosaic rejects it)
+        uf_blk = uf[:, lo:lo + LANE][:, None, :]
+        x = (p0[:, :, None] * uf_blk + r) * inv[:, :, None]
         x_scr[:, lo:lo + LANE] = act(
             x).astype(compute_dtype).reshape(TB * TC, LANE)
     if n_quant:
