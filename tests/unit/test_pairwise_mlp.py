@@ -548,6 +548,45 @@ class TestGatedFactoredKernel:
                                            top_out.tolist())])
         assert agree >= 0.9, agree
 
+    def test_scorer_gated_factored_matches_exact(self):
+        """CatalogScorer(gated_variant='factored') — the TPU default for
+        gated fusion — produces the exact scorer's top-k through the real
+        scan bodies (interpret-mode kernel on CPU): pre-chunked table
+        layout, factored user side, score_full and seen-mask paths."""
+        from pixelrec_multimodal_tpu.data.feature_store import (
+            ItemFeatureStore,
+        )
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        model = make_model(fusion_type='gated')
+        variables = init_variables(model)
+        rng = np.random.default_rng(9)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS)
+                                   % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+        exact = CatalogScorer(model, variables, store, item_chunk=128,
+                              user_chunk=8)
+        fact = CatalogScorer(model, variables, store, item_chunk=128,
+                             user_chunk=8, gated_variant='factored')
+        assert fact._gated_factored
+        assert fact._item_fast_factored is not None
+        users = np.arange(6, dtype=np.int32)
+        seen = np.zeros((6, N_ITEMS), bool)
+        seen[1, :4] = True
+        ve, ie = exact.top_k(users, 5, seen_mask=seen)
+        vf, if_ = fact.top_k(users, 5, seen_mask=seen)
+        np.testing.assert_array_equal(if_, ie)
+        np.testing.assert_allclose(vf, ve, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(fact.score_full(users),
+                                   exact.score_full(users),
+                                   rtol=2e-3, atol=2e-3)
+
     def test_int8_chain_composes(self):
         from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
             calibrate_head_ranges_gated,
