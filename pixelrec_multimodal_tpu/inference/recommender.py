@@ -26,7 +26,8 @@ class Recommender:
                  user_chunk: Optional[int] = None,
                  mesh=None, precision: str = 'bf16',
                  cascade_candidates: Optional[int] = None,
-                 cascade_screen: str = 'additive'):
+                 cascade_screen: str = 'additive',
+                 cascade_recall: float = 1.0):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,
@@ -47,6 +48,15 @@ class Recommender:
         self.cascade_candidates = (None if self.cascade_auto
                                    else cascade_candidates)
         self.cascade_screen = cascade_screen
+        # Recall target for 'auto' calibration. 1.0 (default) only
+        # installs tiers whose measured screen recall covers the exact
+        # top-k on the sample; < 1.0 admits faster approximate tiers
+        # (e.g. the additive screen at its measured recall envelope —
+        # 2.36x on the flagship model at recall 0.95).
+        if not 0.0 < cascade_recall <= 1.0:
+            raise ValueError(
+                f"cascade_recall must be in (0, 1], got {cascade_recall}")
+        self.cascade_recall = cascade_recall
         self._auto_failed_k: Optional[int] = None
         self._user_classes = set(
             map(str, getattr(dataset.user_encoder, 'classes_', [])))
@@ -254,7 +264,8 @@ class Recommender:
             return
         n_users = len(self.dataset.user_encoder.classes_)
         res = self.scorer.auto_cascade(
-            np.arange(n_users, dtype=np.int32), k)
+            np.arange(n_users, dtype=np.int32), k,
+            recall_target=self.cascade_recall)
         if res is None:
             self._auto_failed_k = max(k, self._auto_failed_k or 0)
 

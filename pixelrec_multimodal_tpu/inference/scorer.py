@@ -1155,6 +1155,10 @@ class CatalogScorer:
         scores = self._rescore_attention_body(
             variables, item_fast, user_idx, jnp.maximum(si, 0))
         scores = jnp.where(si < 0, NEG_INF, scores)
+        if n_cand < k:  # tiny catalogs / aggressive plans: pad to k
+            pad = ((0, 0), (0, k - n_cand))
+            scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+            si = jnp.pad(si, pad, constant_values=-1)
         v, pos = jax.lax.top_k(scores, k)
         i = jnp.take_along_axis(si, pos, axis=1)
         return v, jnp.where(v <= NEG_INF / 2, -1, i)

@@ -96,7 +96,8 @@ def create_recommender(recommender_type: str, config: Config,
                        checkpoint_name: str = 'best_model', mesh=None,
                        precision: str = 'bf16',
                        cascade=None,
-                       cascade_screen: str = 'additive'):
+                       cascade_screen: str = 'additive',
+                       cascade_recall: float = 1.0):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
         model = build_model(
@@ -115,7 +116,8 @@ def create_recommender(recommender_type: str, config: Config,
         return Recommender(model, variables, dataset, mesh=mesh,
                            precision=precision,
                            cascade_candidates=cascade,
-                           cascade_screen=cascade_screen)
+                           cascade_screen=cascade_screen,
+                           cascade_recall=cascade_recall)
 
     history = train_data if train_data is not None else dataset.interactions
     if recommender_type == 'random':
@@ -182,6 +184,11 @@ def main(cli_args=None):
                         help='Cascade screen tier for an explicit C '
                              '(ignored by auto; see '
                              'generate_recommendations.py --cascade_screen)')
+    parser.add_argument('--cascade_recall', type=float, default=1.0,
+                        help='Recall target for --cascade auto: 1.0 '
+                             '(default) = exact results only; < 1.0 '
+                             'admits faster approximate screen tiers at '
+                             'their measured recall envelope.')
     parser.add_argument('--num_negatives', type=int, default=20,
                         help='Number of negative samples per positive item')
     parser.add_argument('--sampling_strategy', type=str, default='random',
@@ -262,7 +269,8 @@ def main(cli_args=None):
         args.recommender_type, config, dataset, train_data,
         checkpoint_name=args.checkpoint_name, mesh=mesh,
         precision=args.precision, cascade=args.cascade,
-        cascade_screen=args.cascade_screen)
+        cascade_screen=args.cascade_screen,
+        cascade_recall=args.cascade_recall)
 
     task = get_task_from_string(args.eval_task)
     evaluator = create_evaluator(

@@ -41,7 +41,8 @@ def cascade_arg(v: str):
 def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
                         mesh=None, precision: str = 'bf16',
                         cascade=None,
-                        cascade_screen: str = 'additive'):
+                        cascade_screen: str = 'additive',
+                        cascade_recall: float = 1.0):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -89,7 +90,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
     return (Recommender(model, variables, dataset, mesh=mesh,
                         precision=precision,
                         cascade_candidates=cascade,
-                        cascade_screen=cascade_screen), dataset)
+                        cascade_screen=cascade_screen,
+                        cascade_recall=cascade_recall), dataset)
 
 
 def resolve_users(args, dataset) -> list:
@@ -159,6 +161,12 @@ def main(cli_args=None):
                              'CatalogScorer.calibrate_cascade — a C '
                              'calibrated for token0 under-recalls on '
                              'additive.')
+    parser.add_argument('--cascade_recall', type=float, default=1.0,
+                        help='Recall target for --cascade auto: 1.0 '
+                             '(default) = exact results only; < 1.0 '
+                             'admits faster approximate screen tiers at '
+                             'their measured recall envelope (e.g. the '
+                             'additive tier measured 2.36x at 0.95).')
     parser.add_argument('--cascade_screen', type=str, default='additive',
                         choices=['additive', 'token0'],
                         help='Cascade screen tier for an explicit '
@@ -190,7 +198,8 @@ def main(cli_args=None):
                                                mesh=mesh,
                                                precision=args.precision,
                                                cascade=args.cascade,
-                                               cascade_screen=args.cascade_screen)
+                                               cascade_screen=args.cascade_screen,
+                                               cascade_recall=args.cascade_recall)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

@@ -349,6 +349,18 @@ class TestCascadeScorer:
         assert plan is None
         assert sc._cascade_plan is None
 
+    def test_auto_cascade_relaxed_recall_target(self):
+        """recall_target < 1.0 admits approximate tiers: with a near-zero
+        target even the tiny capped grid calibrates, and the installed
+        plan records the measured (sub-1.0) recall."""
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        plan = sc.auto_cascade(users, 5, recall_target=0.05,
+                               min_speedup=0.0)
+        assert plan is not None
+        assert plan['recall'] >= 0.05
+        sc.disable_cascade()
+
     def test_auto_cascade_requires_attention(self):
         from pixelrec_multimodal_tpu.models.multimodal import (
             MultimodalRecommender,
