@@ -587,6 +587,36 @@ class TestGatedFactoredKernel:
                                    exact.score_full(users),
                                    rtol=2e-3, atol=2e-3)
 
+    def test_scorer_gated_factored_size_fallback(self, monkeypatch, capsys):
+        """Above the factored-table byte cap the scorer keeps the exact
+        kernel (large catalogs; the cap reuses _PACK_BYTES)."""
+        from pixelrec_multimodal_tpu.data.feature_store import (
+            ItemFeatureStore,
+        )
+        from pixelrec_multimodal_tpu.inference.scorer import CatalogScorer
+
+        monkeypatch.setattr(CatalogScorer, '_PACK_BYTES', 1)
+        model = make_model(fusion_type='gated')
+        variables = init_variables(model)
+        rng = np.random.default_rng(9)
+        store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
+        store.tables['tag_idx'] = (np.arange(N_ITEMS)
+                                   % N_TAGS).astype(np.int32)
+        store.tables['numerical'] = rng.standard_normal(
+            (N_ITEMS, 2)).astype(np.float32)
+        store.tables['vision_emb'] = rng.standard_normal(
+            (N_ITEMS, 6)).astype(np.float32)
+        store.tables['language_emb'] = rng.standard_normal(
+            (N_ITEMS, 5)).astype(np.float32)
+        sc = CatalogScorer(model, variables, store, item_chunk=128,
+                           user_chunk=8, gated_variant='factored')
+        assert not sc._gated_factored
+        assert sc._item_fast_factored is None
+        assert 'keeping the exact' in capsys.readouterr().err
+        users = np.arange(4, dtype=np.int32)
+        v, i = sc.top_k(users, 5)   # exact path still works
+        assert (i >= 0).all()
+
     def test_int8_chain_composes(self):
         from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
             calibrate_head_ranges_gated,
