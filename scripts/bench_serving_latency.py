@@ -46,6 +46,15 @@ def log(*a):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--fusion', type=str, default='concatenate',
+                    choices=['concatenate', 'gated', 'attention'])
+    ap.add_argument('--cascade', action='store_true',
+                    help='attention only: serve through an auto-calibrated '
+                         'cascade plan (falls back to exact if the plan '
+                         'does not beat the exact scan)')
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from pixelrec_multimodal_tpu.data.feature_store import ItemFeatureStore
@@ -60,7 +69,8 @@ def main():
         num_numerical_features=NUM_FEAT, embedding_dim=EMB,
         vision_feature_dim=VISION_DIM, language_feature_dim=LANG_DIM,
         use_contrastive=False, fusion_hidden_dims=HIDDEN,
-        fusion_type='concatenate', use_batch_norm=True, dropout_rate=0.0,
+        fusion_type=args.fusion, num_attention_heads=4,
+        use_batch_norm=True, dropout_rate=0.0,
         dtype=jnp.bfloat16)
     store = ItemFeatureStore(N_ITEMS, np.arange(N_ITEMS).astype(str))
     store.tables['tag_idx'] = rng.integers(
@@ -84,8 +94,18 @@ def main():
     t0 = time.time()
     scorer = CatalogScorer(model, variables, store)
     log(f"tower build: {time.time() - t0:.1f}s")
+    plan = None
+    if args.cascade:
+        t0 = time.time()
+        plan = scorer.auto_cascade(
+            np.arange(4096, dtype=np.int32), TOP_K)
+        log(f"auto_cascade: {time.time() - t0:.1f}s -> {plan}")
 
-    out = {'catalog_items': N_ITEMS, 'top_k': TOP_K, 'n_requests': N_REQ}
+    out = {'catalog_items': N_ITEMS, 'top_k': TOP_K, 'n_requests': N_REQ,
+           'fusion': args.fusion,
+           'cascade_plan': None if plan is None else
+           {k: (v if isinstance(v, str) else float(v))
+            for k, v in plan.items()}}
     for bs in (1, 64, 1024):
         users = rng.integers(0, 4096, (N_REQ + 3, bs)).astype(np.int32)
         # warmup/compile for this block class
