@@ -181,6 +181,27 @@ def main():
 
             timed(f'gated_factored_{dt_name}',
                   lambda: run_fact(ufx, a, t4, igb), pairs)
+
+            if dt_name == 'bf16':
+                # int8 chain on TOP of the factored assembly: the
+                # factorization moved the assembly to the MXU, so the
+                # hidden chain is a larger share of kernel time than in
+                # the exact kernel — the int8 flip point may sit lower.
+                from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
+                    calibrate_head_ranges_gated,
+                    quantize_mlp_chain,
+                )
+                ranges = calibrate_head_ranges_gated(
+                    head, (uf[:64], ug[:64]), (itf[:512], ig[:512]))
+                qhead = dict(head, qlayers=quantize_mlp_chain(head, ranges))
+
+                @jax.jit
+                def run_fact_q(ufx, a, t4, igb):
+                    return jnp.sum(pallas_pairwise_scores_gated_factored(
+                        qhead, ufx, a, t4, igb, **kw))
+
+                timed('gated_factored_int8',
+                      lambda: run_fact_q(ufx, a, t4, igb), pairs)
             # agreement vs the exact gated kernel on a slice
             from pixelrec_multimodal_tpu.ops.pairwise_mlp import (
                 xla_pairwise_scores_gated,
