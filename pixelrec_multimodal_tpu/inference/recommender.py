@@ -27,7 +27,8 @@ class Recommender:
                  mesh=None, precision: str = 'bf16',
                  cascade_candidates: Optional[int] = None,
                  cascade_screen: str = 'additive',
-                 cascade_recall: float = 1.0):
+                 cascade_recall: float = 1.0,
+                 cascade_c1: Optional[int] = None):
         self.model = model
         self.dataset = dataset
         self.scorer = CatalogScorer(model, variables, dataset.feature_store,
@@ -48,6 +49,10 @@ class Recommender:
         self.cascade_candidates = (None if self.cascade_auto
                                    else cascade_candidates)
         self.cascade_screen = cascade_screen
+        # Stage-1 survivor count for the 3-stage 'funnel' tier (additive
+        # screen -> token0 candidate screen -> exact rescore); None picks
+        # top_k_cascade's default (8*C floor 4096).
+        self.cascade_c1 = cascade_c1
         # Recall target for 'auto' calibration. 1.0 (default) only
         # installs tiers whose measured screen recall covers the exact
         # top-k on the sample; < 1.0 admits faster approximate tiers
@@ -103,7 +108,7 @@ class Recommender:
             values, idx = self.scorer.top_k_cascade(
                 np.asarray([uidx]), top_k,
                 n_candidates=self.cascade_candidates, seen_mask=seen_mask,
-                screen=self.cascade_screen)
+                screen=self.cascade_screen, funnel_c1=self.cascade_c1)
         else:
             if self.cascade_auto:
                 self._ensure_auto_cascade(top_k)
@@ -230,7 +235,8 @@ class Recommender:
         if self.cascade_candidates is not None:
             values, idx = self.scorer.top_k_cascade(
                 uidx, top_k, n_candidates=self.cascade_candidates,
-                seen_mask=seen_mask, screen=self.cascade_screen)
+                seen_mask=seen_mask, screen=self.cascade_screen,
+                funnel_c1=self.cascade_c1)
         else:
             if self.cascade_auto:
                 self._ensure_auto_cascade(top_k)

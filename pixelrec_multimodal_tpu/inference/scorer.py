@@ -904,7 +904,8 @@ class CatalogScorer:
                            type(self)._score_full_fast,
                            type(self)._topk_scan_screen,
                            type(self)._topk_scan_screen_add,
-                           type(self)._cascade_block):
+                           type(self)._cascade_block,
+                           type(self)._funnel_block):
                     try:
                         fn.clear_cache()
                     except AttributeError:
@@ -938,7 +939,7 @@ class CatalogScorer:
             return self.top_k_cascade(
                 user_indices, k, n_candidates=plan['n_candidates'],
                 seen_mask=seen_mask, screen=plan['screen'],
-                _calibrated=True)
+                funnel_c1=plan.get('c1'), _calibrated=True)
         # Pick the smallest block class that covers the request (class
         # docstring at _BLOCK_CLASSES) and pad the tail block to it.
         chunk = self.user_chunk
@@ -1137,6 +1138,69 @@ class CatalogScorer:
         return self._rescore_attention_body(variables, item_fast,
                                             user_idx, cand_idx)
 
+    def _screen_candidates_body(self, variables, item_fast, tail,
+                                user_idx: jnp.ndarray,
+                                cand_idx: jnp.ndarray) -> jnp.ndarray:
+        """[B] users x [B, C] candidate ids -> token0-SCREEN scores.
+
+        The funnel cascade's middle stage: the token0 screen math
+        (exact user-token attention row + per-item tail,
+        ops/attention_cascade.xla_attention_screen_candidate_scores)
+        evaluated on GATHERED per-user candidate rows instead of catalog
+        tiles. Gathers only the two tables the screen reads (it_k, it_vo)
+        plus the screen tail; blocked over user sub-blocks x 256-candidate
+        chunks inside one compiled scan with the same transient budget as
+        the exact rescore (_rescore_attention_body).
+        """
+        from ..ops.attention_cascade import (
+            unpack_candidate_screen_rows,
+            xla_attention_screen_candidate_scores,
+        )
+        from ..ops.attention_scorer import compute_user_side_attention
+        head = self._head
+        B, C = cand_idx.shape
+        user_emb = self.model.apply(variables, user_idx, method='user_tower')
+        user_side = compute_user_side_attention(head, user_emb)[:5]
+        CC = 256 if C % 256 == 0 and C > 256 else C
+        ncc = C // CC
+        T = head['n_item_mods'] + 1
+        per_user = CC * T * head['H'] * head['dp'] * 4
+        cap = max(64, (700 << 20) // max(per_user, 1))
+        SB = 1
+        while SB * 2 <= min(B, cap):
+            SB *= 2
+        nb = B // SB
+        us = tuple(a.reshape((nb, SB) + a.shape[1:]) for a in user_side)
+        ci = cand_idx.reshape(nb, SB, C)
+        it_k, it_vo = item_fast[2], item_fast[3]
+
+        def body(_, xs):
+            us_b, ci_b = xs
+            ci_cc = ci_b.reshape(SB, ncc, CC).transpose(1, 0, 2)
+
+            def cbody(_, ci_c):
+                k_rows = jnp.take(it_k, ci_c, axis=0)
+                vo_rows = jnp.take(it_vo, ci_c, axis=0)
+                t_rows = jnp.take(tail, ci_c, axis=0)
+                if self._attn_packed:
+                    k_rows, vo_rows = unpack_candidate_screen_rows(
+                        head, k_rows, vo_rows)
+                return None, xla_attention_screen_candidate_scores(
+                    head, us_b, (k_rows, vo_rows), t_rows)
+
+            _, parts = jax.lax.scan(cbody, None, ci_cc)  # [ncc, SB, CC]
+            return None, parts.transpose(1, 0, 2).reshape(SB, C)
+
+        _, out = jax.lax.scan(body, None, (us, ci))
+        return out.reshape(B, C)
+
+    @partial(jax.jit, static_argnums=0)
+    def _screen_candidates(self, variables, item_fast, tail,
+                           user_idx: jnp.ndarray,
+                           cand_idx: jnp.ndarray) -> jnp.ndarray:
+        return self._screen_candidates_body(variables, item_fast, tail,
+                                            user_idx, cand_idx)
+
     @partial(jax.jit, static_argnums=(0, 5, 6, 7))
     def _cascade_block(self, variables, tables, user_idx: jnp.ndarray,
                        seen_items: jnp.ndarray, k: int, n_cand: int,
@@ -1154,13 +1218,52 @@ class CatalogScorer:
                                       screen=screen)
         scores = self._rescore_attention_body(
             variables, item_fast, user_idx, jnp.maximum(si, 0))
-        scores = jnp.where(si < 0, NEG_INF, scores)
+        # Mask on the SCREEN value too: the relaxed per-chunk selection
+        # can surface seen/padding entries (score NEG_INF, real index)
+        # as tie-fills when a chunk has fewer than n_cand live items —
+        # the exact rescore must not resurrect them.
+        scores = jnp.where((si < 0) | (sv <= NEG_INF / 2), NEG_INF, scores)
         if n_cand < k:  # tiny catalogs / aggressive plans: pad to k
             pad = ((0, 0), (0, k - n_cand))
             scores = jnp.pad(scores, pad, constant_values=NEG_INF)
             si = jnp.pad(si, pad, constant_values=-1)
         v, pos = jax.lax.top_k(scores, k)
         i = jnp.take_along_axis(si, pos, axis=1)
+        return v, jnp.where(v <= NEG_INF / 2, -1, i)
+
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _funnel_block(self, variables, tables, user_idx: jnp.ndarray,
+                      seen_items: jnp.ndarray, k: int, c1: int, c2: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The 3-stage FUNNEL cascade for one user block as ONE compiled
+        program: additive screen scan over the catalog -> top-C1 survivor
+        selection -> token0 screen on the gathered survivors -> top-C2 ->
+        exact rescore -> final exact top-k. Composes the two measured
+        screen tiers so the fast tier bounds the scan cost and the strong
+        tier sets the recall (calibrate_funnel measures the composition).
+        ``tables`` = (additive_screen_tables, item_fast, screen_tail)."""
+        add_tables, item_fast, tail = tables
+        sv1, si1 = self._fast_topk_body(variables, add_tables, user_idx,
+                                        seen_items, c1, jnp.int32(0),
+                                        screen='additive')
+        s2 = self._screen_candidates_body(variables, item_fast, tail,
+                                          user_idx, jnp.maximum(si1, 0))
+        # sv1-mask: kill seen/padding tie-fills from the relaxed stage-1
+        # selection (same hardening as _cascade_block).
+        s2 = jnp.where((si1 < 0) | (sv1 <= NEG_INF / 2), NEG_INF, s2)
+        v2, pos2 = jax.lax.top_k(s2, c2)
+        si2 = jnp.take_along_axis(si1, pos2, axis=1)
+        si2 = jnp.where(v2 <= NEG_INF / 2, -1, si2)
+        scores = self._rescore_attention_body(variables, item_fast,
+                                              user_idx,
+                                              jnp.maximum(si2, 0))
+        scores = jnp.where(si2 < 0, NEG_INF, scores)
+        if c2 < k:  # tiny catalogs / aggressive plans: pad to k
+            pad = ((0, 0), (0, k - c2))
+            scores = jnp.pad(scores, pad, constant_values=NEG_INF)
+            si2 = jnp.pad(si2, pad, constant_values=-1)
+        v, pos = jax.lax.top_k(scores, k)
+        i = jnp.take_along_axis(si2, pos, axis=1)
         return v, jnp.where(v <= NEG_INF / 2, -1, i)
 
     def _rescore_blocks(self, user_indices: np.ndarray,
@@ -1186,10 +1289,35 @@ class CatalogScorer:
                 jnp.asarray(cands_p)))[:B])
         return np.concatenate(out)
 
+    def _screen_candidate_blocks(self, user_indices: np.ndarray,
+                                 cand_idx: np.ndarray) -> np.ndarray:
+        """Token0-screen scoring of per-user candidate lists in
+        block-class user chunks (the funnel's middle stage on the meshed
+        path; invalid ids < 0 are gathered at 0 and masked by callers)."""
+        chunk = self.user_chunk
+        for c in self._BLOCK_CLASSES:
+            if c >= len(user_indices) and c <= self.user_chunk:
+                chunk = c
+                break
+        out = []
+        for s in range(0, len(user_indices), chunk):
+            users = user_indices[s:s + chunk]
+            B = len(users)
+            users_p = np.concatenate(
+                [users, np.full(chunk - B, users[0], np.int32)])
+            cands = np.clip(cand_idx[s:s + chunk], 0, None)
+            cands_p = np.concatenate(
+                [cands, np.zeros((chunk - B, cands.shape[1]), np.int32)])
+            out.append(np.asarray(self._screen_candidates(
+                self.variables, self._item_fast, self._screen_tail,
+                jnp.asarray(users_p), jnp.asarray(cands_p)))[:B])
+        return np.concatenate(out)
+
     def top_k_cascade(self, user_indices: np.ndarray, k: int,
                       n_candidates: Optional[int] = None,
                       seen_mask: Optional[np.ndarray] = None,
                       screen: str = 'additive',
+                      funnel_c1: Optional[int] = None,
                       _calibrated: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Two-stage top-k for attention fusion: screen the catalog with
@@ -1197,21 +1325,25 @@ class CatalogScorer:
         user and return their exact top-k.
 
         screen: 'additive' (default — concat-kernel-rate screen, both
-        attention limits frozen; weakest recall per C) or 'token0' (the
+        attention limits frozen; weakest recall per C), 'token0' (the
         user token's attention row computed exactly; ~69M pairs/s kernel,
-        stronger recall per C). Returned scores are exact; the result
+        stronger recall per C), or 'funnel' (3-stage: additive screen to
+        ``funnel_c1`` survivors, token0 screen on the survivors to
+        ``n_candidates``, exact rescore — the additive tier's scan rate
+        with near-token0 recall). Returned scores are exact; the result
         equals the exact full-scan ``top_k`` whenever the screen's
         recall@n_candidates covers the true top-k — measure it with
-        ``calibrate_cascade`` and pick n_candidates with a margin
-        (defaults: 8*k floor 256 for token0, 16*k floor 1024 for the
-        weaker additive screen). Opt-in: the default ``top_k`` path stays
-        the exact full scan (ops/attention_cascade.py module docstring
-        for the design).
+        ``calibrate_cascade`` / ``calibrate_funnel`` and pick
+        n_candidates with a margin (defaults: 8*k floor 256 for token0
+        and the funnel's C2, 16*k floor 1024 for the weaker additive
+        screen; funnel_c1 defaults to 8*C2 floor 4096). Opt-in: the
+        default ``top_k`` path stays the exact full scan
+        (ops/attention_cascade.py module docstring for the design).
         """
-        if screen not in ('additive', 'token0'):
-            raise ValueError(f"screen must be 'additive' or 'token0', "
-                             f"got {screen!r}")
-        if screen == 'additive':
+        if screen not in ('additive', 'token0', 'funnel'):
+            raise ValueError(f"screen must be 'additive', 'token0' or "
+                             f"'funnel', got {screen!r}")
+        if screen in ('additive', 'funnel'):
             self._ensure_screen_additive()
         else:
             self._ensure_screen()
@@ -1235,12 +1367,28 @@ class CatalogScorer:
                   f"tier needs a larger C for the same recall.",
                   file=sys.stderr)
         n_candidates = min(n_candidates, self.n_items)
+        if screen == 'funnel':
+            if funnel_c1 is None:
+                funnel_c1 = max(8 * n_candidates, 4096)
+            funnel_c1 = min(max(funnel_c1, n_candidates), self.n_items)
         if self.mesh is not None:
-            # Meshed path stays two-stage: per-shard screen + all-gather
-            # merge, then the sharded-table rescore.
-            _, si = self.top_k(user_indices, n_candidates, seen_mask,
-                               _screen=screen if screen == 'additive'
-                               else True)
+            # Meshed path stays multi-stage: per-shard screen + all-gather
+            # merge, then (funnel: token0 candidate screen + host top-C2,
+            # then) the sharded-table rescore.
+            if screen == 'funnel':
+                _, si = self.top_k(user_indices, funnel_c1, seen_mask,
+                                   _screen='additive')
+                s2 = self._screen_candidate_blocks(user_indices, si)
+                s2 = np.where(si < 0, float(NEG_INF), s2)
+                pos2 = np.argsort(-s2, kind='stable',
+                                  axis=1)[:, :n_candidates]
+                v2 = np.take_along_axis(s2, pos2, axis=1)
+                si = np.take_along_axis(si, pos2, axis=1).copy()
+                si[v2 <= float(NEG_INF) / 2] = -1
+            else:
+                _, si = self.top_k(user_indices, n_candidates, seen_mask,
+                                   _screen=screen if screen == 'additive'
+                                   else True)
             scores = self._rescore_blocks(user_indices, si)
             scores = np.where(si < 0, float(NEG_INF),
                               scores).astype(np.float32)
@@ -1250,10 +1398,13 @@ class CatalogScorer:
             i[v <= float(NEG_INF) / 2] = -1
             return v, i
         # Single-device: the whole cascade is one compiled block
-        # (_cascade_block) — one dispatch, [B, k] fetch.
+        # (_cascade_block / _funnel_block) — one dispatch, [B, k] fetch.
         if screen == 'additive':
             screen_tables = (self._screen_add,)
             sflag = 'additive'
+        elif screen == 'funnel':
+            screen_tables = (self._screen_add,)
+            sflag = 'funnel'
         else:
             screen_tables = self._item_fast + (self._screen_tail,)
             sflag = True
@@ -1278,10 +1429,18 @@ class CatalogScorer:
                     seen[bi, :len(r)] = r
             else:
                 seen = np.zeros((chunk, 0), dtype=np.int32)
-            v, i = self._with_tile_backoff(
-                lambda: self._cascade_block(
-                    self.variables, tables, jnp.asarray(users_p),
-                    jnp.asarray(seen), k, n_candidates, sflag))
+            if screen == 'funnel':
+                ftables = ((self._screen_add,), self._item_fast,
+                           self._screen_tail)
+                v, i = self._with_tile_backoff(
+                    lambda: self._funnel_block(
+                        self.variables, ftables, jnp.asarray(users_p),
+                        jnp.asarray(seen), k, funnel_c1, n_candidates))
+            else:
+                v, i = self._with_tile_backoff(
+                    lambda: self._cascade_block(
+                        self.variables, tables, jnp.asarray(users_p),
+                        jnp.asarray(seen), k, n_candidates, sflag))
             out_v.append(np.asarray(v)[:B])
             out_i.append(np.asarray(i)[:B])
         return np.concatenate(out_v), np.concatenate(out_i)
@@ -1318,6 +1477,54 @@ class CatalogScorer:
                 total += len(exact)
             out[cc] = hits / max(total, 1)
         return out
+
+    def calibrate_funnel(self, user_indices: np.ndarray, k: int,
+                         c1_grid=(1024, 2048, 4096),
+                         c2_grid=(256, 512, 1024),
+                         seen_mask: Optional[np.ndarray] = None
+                         ) -> Dict[Tuple[int, int], float]:
+        """Measured FUNNEL screen recall on a user sample: the fraction
+        of each user's EXACT top-k that survives additive-top-C1 -> then
+        token0-top-C2-within-survivors, for every (C1, C2) pair with
+        C2 <= C1. One additive wide pass at max(c1_grid) plus one token0
+        CANDIDATE-screen pass over those survivors yields the whole grid
+        (within-C2 membership is a prefix property of the token0 score
+        ranking restricted to each C1 prefix). The funnel's recall is
+        bounded above by the additive tier's recall@C1 but can EXCEED the
+        token0 tier's recall@C2 — restriction to survivors only improves
+        an item's token0 rank."""
+        self._ensure_screen_additive()
+        user_indices = np.asarray(user_indices, np.int32)
+        c1s = sorted({min(int(c), self.n_items) for c in c1_grid})
+        c2s = sorted({min(int(c), self.n_items) for c in c2_grid})
+        D = c1s[-1]
+        _, ei = self.top_k(user_indices, k, seen_mask, _exact=True)
+        _, ai = self.top_k(user_indices, D, seen_mask, _screen='additive')
+        s2 = self._screen_candidate_blocks(user_indices, ai)
+        s2 = np.where(ai < 0, float(NEG_INF), s2)
+        hits = {(c1, c2): 0 for c1 in c1s for c2 in c2s if c2 <= c1}
+        total = 0
+        for b in range(len(ei)):
+            ks = ei[b][ei[b] >= 0]
+            if not len(ks):
+                continue
+            total += len(ks)
+            a_rank = np.full(self.n_items, D, np.int32)
+            valid = ai[b] >= 0
+            a_rank[ai[b][valid]] = np.flatnonzero(valid).astype(np.int32)
+            ks_a = a_rank[ks]
+            ks_t = np.where(ks_a < D, s2[b][np.minimum(ks_a, D - 1)],
+                            float(NEG_INF))
+            for c1 in c1s:
+                # within-rank of score t in the C1 prefix = #{better}
+                prefix = np.sort(s2[b, :c1])           # ascending
+                better = c1 - np.searchsorted(prefix, ks_t, side='right')
+                alive = ks_a < c1
+                for c2 in c2s:
+                    if c2 > c1:
+                        continue
+                    hits[(c1, c2)] += int(np.sum(alive & (better < c2)))
+        return {pair: h / max(total, 1) for pair, h in hits.items()}
 
     def auto_cascade(self, user_indices: np.ndarray, k: int,
                      sample_users: int = 512,
@@ -1365,6 +1572,7 @@ class CatalogScorer:
         grid = [c for c in (256, 512, 1024, 2048, 4096, 8192)
                 if c <= c_cap] or [c_cap]
         chosen = {}
+        additive_cheap = False
         for tier in ('additive', 'token0'):
             rec = self.calibrate_cascade(sample, k, candidate_grid=grid,
                                          seen_mask=sample_mask, screen=tier)
@@ -1372,42 +1580,81 @@ class CatalogScorer:
             if ok:
                 chosen[tier] = (ok[0], rec[ok[0]])
             if tier == 'additive' and ok and ok[0] <= grid[0] * 4:
-                break  # additive already cheap; skip token0 calibration
-        if not chosen:
+                additive_cheap = True
+                break  # additive already cheap; skip token0/funnel
+        funnel = None
+        if not additive_cheap:
+            # 3-stage funnel: additive survivors may go DEEPER than the
+            # single-tier C cap (survivors only see the cheap token0
+            # candidate screen, not the exact rescore), so C1 is allowed
+            # up to a quarter of the catalog; C2 stays within the rescore
+            # cap like the single tiers.
+            c1_max = max(self.n_items // 4, 1)
+            c1_grid = [c for c in (1024, 2048, 4096, 8192, 16384)
+                       if c <= c1_max] or [c1_max]
+            rec_f = self.calibrate_funnel(sample, k, c1_grid=c1_grid,
+                                          c2_grid=grid,
+                                          seen_mask=sample_mask)
+            ok_f = [p for p, r in rec_f.items() if r >= recall_target]
+            if ok_f:
+                # cheapest qualifying pair: stage-2 cost is linear in C1,
+                # the rescore's per-pair work ~4x the candidate screen's.
+                c1, c2 = min(ok_f, key=lambda p: p[0] + 4 * p[1])
+                funnel = (c1, c2, rec_f[(c1, c2)])
+        if not chosen and funnel is None:
             print(f"auto_cascade: no screen tier reached recall "
                   f">={recall_target} within C<={grid[-1]} on the "
                   f"{len(sample)}-user sample — keeping the exact full "
                   f"scan.", file=sys.stderr)
             self._cascade_plan = None
             return None
-        if ('additive' in chosen
-                and ('token0' not in chosen
-                     or chosen['token0'][0] * 4 > chosen['additive'][0])):
-            tier = 'additive'
-        else:
-            tier = 'token0'
-        c0, recall = chosen[tier]
-        n_cand = min(int(c0 * safety), self.n_items)
+        plans = []
+        if chosen:
+            if ('additive' in chosen
+                    and ('token0' not in chosen
+                         or chosen['token0'][0] * 4
+                         > chosen['additive'][0])):
+                tier = 'additive'
+            else:
+                tier = 'token0'
+            c0, recall = chosen[tier]
+            plans.append({'screen': tier,
+                          'n_candidates': min(int(c0 * safety),
+                                              self.n_items),
+                          'calibrated_c': c0, 'recall': recall})
+        if funnel is not None:
+            c1, c2, rec = funnel
+            c1s = min(int(c1 * safety), self.n_items)
+            plans.append({'screen': 'funnel',
+                          'n_candidates': min(int(c2 * safety), c1s),
+                          'c1': c1s, 'calibrated_c': c2,
+                          'calibrated_c1': c1, 'recall': rec})
         # MEASURED speedup gate: a cascade that does not beat the exact
         # scan on this hardware/geometry is a pure loss (round-5 baseline
         # measurement: the round-4 cascade shipped at 0.3-0.5x the exact
-        # scan end-to-end). Time both on the sample (steady state: one
-        # untimed warm call each for the compiles) and only install the
-        # plan when the cascade wins with margin.
+        # scan end-to-end). Time the exact scan and EVERY qualifying plan
+        # on the sample (steady state: one untimed warm call each for the
+        # compiles), pick the fastest, and only install it when it wins
+        # with margin.
         import time as _time
         self.top_k(sample, k, seen_mask=sample_mask, _exact=True)
         t0 = _time.time()
         self.top_k(sample, k, seen_mask=sample_mask, _exact=True)
         t_exact = _time.time() - t0
-        self.top_k_cascade(sample, k, n_candidates=n_cand,
-                           seen_mask=sample_mask, screen=tier,
-                           _calibrated=True)
-        t0 = _time.time()
-        self.top_k_cascade(sample, k, n_candidates=n_cand,
-                           seen_mask=sample_mask, screen=tier,
-                           _calibrated=True)
-        t_casc = _time.time() - t0
-        speedup = t_exact / max(t_casc, 1e-9)
+        for p in plans:
+            kw = dict(n_candidates=p['n_candidates'], screen=p['screen'],
+                      seen_mask=sample_mask, _calibrated=True)
+            if p['screen'] == 'funnel':
+                kw['funnel_c1'] = p['c1']
+            self.top_k_cascade(sample, k, **kw)
+            t0 = _time.time()
+            self.top_k_cascade(sample, k, **kw)
+            p['measured_speedup'] = round(
+                t_exact / max(_time.time() - t0, 1e-9), 3)
+        best = max(plans, key=lambda p: p['measured_speedup'])
+        tier, n_cand = best['screen'], best['n_candidates']
+        recall, c0 = best['recall'], best['calibrated_c']
+        speedup = best['measured_speedup']
         if speedup < min_speedup:
             print(f"auto_cascade: screen={tier} C={n_cand} reaches recall "
                   f"{recall:.4f} but measured only {speedup:.2f}x the "
@@ -1415,16 +1662,13 @@ class CatalogScorer:
                   f"the exact full scan.", file=sys.stderr)
             self._cascade_plan = None
             return None
-        self._cascade_plan = {'screen': tier, 'n_candidates': n_cand,
-                              'k': k, 'recall': recall,
-                              'calibrated_c': c0,
-                              'sample_users': len(sample),
-                              'measured_speedup': round(speedup, 3)}
-        print(f"auto_cascade: screen={tier} C={n_cand} (calibrated "
-              f"recall@{c0}={recall:.4f} at k={k} on {len(sample)} users, "
-              f"safety x{safety:g}, measured {speedup:.2f}x the exact "
-              f"scan) — top_k now routes through the cascade.",
-              file=sys.stderr)
+        self._cascade_plan = dict(best, k=k, sample_users=len(sample))
+        c1_note = (f" C1={best['c1']}" if tier == 'funnel' else '')
+        print(f"auto_cascade: screen={tier} C={n_cand}{c1_note} "
+              f"(calibrated recall@{c0}={recall:.4f} at k={k} on "
+              f"{len(sample)} users, safety x{safety:g}, measured "
+              f"{speedup:.2f}x the exact scan) — top_k now routes "
+              f"through the cascade.", file=sys.stderr)
         return dict(self._cascade_plan)
 
     def disable_cascade(self) -> None:

@@ -94,6 +94,26 @@ def unpack_candidate_rows(head: dict, rows: Tuple[jnp.ndarray, ...]
             pad(rows[3], Mi * H)) + tuple(rows[4:])
 
 
+def unpack_candidate_screen_rows(head: dict, it_k: jnp.ndarray,
+                                 it_vo: jnp.ndarray
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-pad lane-PACKED gathered (it_k, it_vo) candidate rows to dp —
+    the token0-screen subset of ``unpack_candidate_rows`` (the funnel's
+    middle stage gathers only the two tables the screen math reads)."""
+    d, dp = head['d'], head['dp']
+    if d == dp:
+        return it_k, it_vo
+    Mi, H = head['n_item_mods'], head['H']
+
+    def pad(a, n):
+        lead = a.shape[:-1]
+        x = a.reshape(lead + (n, d))
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, dp - d)])
+        return x.reshape(lead + (n * dp,))
+
+    return pad(it_k, Mi), pad(it_vo, Mi * H)
+
+
 # ----------------------------------------------------- additive screen tier
 def compute_screen_additive_user(head: dict,
                                  user_side: Tuple[jnp.ndarray, ...]

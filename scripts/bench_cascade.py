@@ -261,6 +261,43 @@ def main():
         log(f"{tier} cascade top-{TOP_K} agreement (C={n_cand}): "
             f"{agree:.4f}")
 
+    # --- 3-stage funnel cascade (additive screen -> token0 candidate
+    # screen -> exact rescore): the recall-1.0 tier at the additive
+    # tier's scan rate (probe_funnel_recall.py measured additive
+    # recall@8192 = 1.0 with the token0 stage losing nothing)
+    t0 = time.time()
+    rec_f = scorer.calibrate_funnel(users[:512], TOP_K,
+                                    c1_grid=(2048, 4096, 8192),
+                                    c2_grid=(256, 512, 1024))
+    log(f"funnel calibration ({time.time() - t0:.1f}s):")
+    for (c1, c2), r in sorted(rec_f.items()):
+        quality[f'recall_funnel_{c1}_{c2}'] = r
+        log(f"  funnel recall c1={c1} c2={c2}: {r:.4f}")
+    for c1, c2 in ((8192, 512), (4096, 512)):
+        t0 = time.time()
+        scorer.top_k_cascade(users[:scorer.user_chunk], TOP_K,
+                             n_candidates=c2, screen='funnel',
+                             funnel_c1=c1)
+        log(f"funnel compile+first block (C1={c1}, C2={c2}): "
+            f"{time.time() - t0:.1f}s")
+        rates = []
+        for r in range(3):
+            t0 = time.time()
+            cv, ci = scorer.top_k_cascade(users, TOP_K, n_candidates=c2,
+                                          screen='funnel', funnel_c1=c1)
+            dt = time.time() - t0
+            rates.append(n_users * N_ITEMS / dt)
+            log(f"funnel run {r + 1} (C1={c1}, C2={c2}): {dt:.2f}s -> "
+                f"{rates[-1]:,.0f} effective pairs/s")
+        results[f'cascade_effective_funnel_{c1}_{c2}'] = float(
+            np.median(rates))
+        agree = np.mean([len(set(ci[b][ci[b] >= 0].tolist()) & ks)
+                         / max(len(ks), 1)
+                         for b, ks in enumerate(k_sets)])
+        quality[f'topk_agreement_funnel_{c1}_{c2}'] = float(agree)
+        log(f"funnel top-{TOP_K} agreement (C1={c1}, C2={c2}): "
+            f"{agree:.4f}")
+
     # --- auto_cascade: the production path (calibrate on a sample,
     # install the plan, route top_k)
     t0 = time.time()

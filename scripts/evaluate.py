@@ -97,7 +97,8 @@ def create_recommender(recommender_type: str, config: Config,
                        precision: str = 'bf16',
                        cascade=None,
                        cascade_screen: str = 'additive',
-                       cascade_recall: float = 1.0):
+                       cascade_recall: float = 1.0,
+                       cascade_c1=None):
     """Factory for the 5 recommender types (reference evaluate.py:170-224)."""
     if recommender_type == 'multimodal':
         model = build_model(
@@ -117,7 +118,8 @@ def create_recommender(recommender_type: str, config: Config,
                            precision=precision,
                            cascade_candidates=cascade,
                            cascade_screen=cascade_screen,
-                           cascade_recall=cascade_recall)
+                           cascade_recall=cascade_recall,
+                           cascade_c1=cascade_c1)
 
     history = train_data if train_data is not None else dataset.interactions
     if recommender_type == 'random':
@@ -180,10 +182,13 @@ def main(cli_args=None):
                              '--cascade_screen tier with '
                              'CatalogScorer.calibrate_cascade.')
     parser.add_argument('--cascade_screen', type=str, default='additive',
-                        choices=['additive', 'token0'],
+                        choices=['additive', 'token0', 'funnel'],
                         help='Cascade screen tier for an explicit C '
                              '(ignored by auto; see '
                              'generate_recommendations.py --cascade_screen)')
+    parser.add_argument('--cascade_c1', type=int, default=None,
+                        help='Stage-1 survivor count for --cascade_screen '
+                             'funnel (default 8*C, floor 4096)')
     parser.add_argument('--cascade_recall', type=float, default=1.0,
                         help='Recall target for --cascade auto: 1.0 '
                              '(default) = exact results only; < 1.0 '
@@ -270,7 +275,8 @@ def main(cli_args=None):
         checkpoint_name=args.checkpoint_name, mesh=mesh,
         precision=args.precision, cascade=args.cascade,
         cascade_screen=args.cascade_screen,
-        cascade_recall=args.cascade_recall)
+        cascade_recall=args.cascade_recall,
+        cascade_c1=args.cascade_c1)
 
     task = get_task_from_string(args.eval_task)
     evaluator = create_evaluator(

@@ -42,7 +42,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
                         mesh=None, precision: str = 'bf16',
                         cascade=None,
                         cascade_screen: str = 'additive',
-                        cascade_recall: float = 1.0):
+                        cascade_recall: float = 1.0,
+                        cascade_c1=None):
     """Rebuild the dataset + model from artifacts
     (reference generate_recommendations.py:76-158)."""
     item_info = pd.read_csv(config.data.processed_item_info_path)
@@ -91,7 +92,8 @@ def load_model_and_data(config: Config, checkpoint_name: str = 'best_model',
                         precision=precision,
                         cascade_candidates=cascade,
                         cascade_screen=cascade_screen,
-                        cascade_recall=cascade_recall), dataset)
+                        cascade_recall=cascade_recall,
+                        cascade_c1=cascade_c1), dataset)
 
 
 def resolve_users(args, dataset) -> list:
@@ -168,14 +170,24 @@ def main(cli_args=None):
                              'their measured recall envelope (e.g. the '
                              'additive tier measured 2.36x at 0.95).')
     parser.add_argument('--cascade_screen', type=str, default='additive',
-                        choices=['additive', 'token0'],
+                        choices=['additive', 'token0', 'funnel'],
                         help='Cascade screen tier for an explicit '
                              '--cascade C: additive (concat-kernel-rate '
                              'screen, weakest recall per C; operating '
-                             'floor C>=max(16k,1024)) or token0 (exact '
+                             'floor C>=max(16k,1024)), token0 (exact '
                              'user-token attention row, stronger recall '
-                             'per C). Ignored by --cascade auto, which '
-                             'picks the tier from measured recall.')
+                             'per C), or funnel (3-stage: additive to '
+                             '--cascade_c1 survivors, token0 candidate '
+                             'screen to C, exact rescore — additive scan '
+                             'rate at near-token0 recall; calibrate with '
+                             'CatalogScorer.calibrate_funnel). Ignored '
+                             'by --cascade auto, which picks the tier '
+                             'from measured recall.')
+    parser.add_argument('--cascade_c1', type=int, default=None,
+                        help='Stage-1 survivor count for '
+                             '--cascade_screen funnel (default 8*C, '
+                             'floor 4096). The funnel recall is bounded '
+                             'by the additive tier recall at this C1.')
     args = parser.parse_args(cli_args)
     if not 0.0 <= args.diversity_weight <= 1.0:
         parser.error(f"--diversity_weight must be in [0, 1], "
@@ -199,7 +211,8 @@ def main(cli_args=None):
                                                precision=args.precision,
                                                cascade=args.cascade,
                                                cascade_screen=args.cascade_screen,
-                                               cascade_recall=args.cascade_recall)
+                                               cascade_recall=args.cascade_recall,
+                                               cascade_c1=args.cascade_c1)
     users = resolve_users(args, dataset)
     print(f"Generating recommendations for {len(users)} users "
           f"(top_k={config.recommendation.top_k}, "

@@ -214,6 +214,57 @@ class TestScreenMath:
         for a, b in zip(rows, want):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_candidate_screen_matches_screen_columns(self):
+        """The gathered token0 candidate screen (the funnel cascade's
+        middle stage) equals the all-pairs token0 screen at the gathered
+        columns."""
+        from pixelrec_multimodal_tpu.ops.attention_cascade import (
+            xla_attention_screen_candidate_scores,
+        )
+        model = make_model(heads=2)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        item_feats, user_emb, _ = sides(model, variables, B=16, C=128)
+        item_side = compute_item_side_attention(head, item_feats)
+        user_side = compute_user_side_attention(head, user_emb)
+        tail = compute_screen_tail(head, item_side)
+        full = np.asarray(
+            xla_attention_screen_scores(head, user_side, item_side, tail))
+        rng = np.random.default_rng(2)
+        cand = jnp.asarray(rng.integers(0, 128, (16, 9)).astype(np.int32))
+        got = np.asarray(xla_attention_screen_candidate_scores(
+            head, user_side,
+            (jnp.take(item_side[2], cand, axis=0),
+             jnp.take(item_side[3], cand, axis=0)),
+            jnp.take(tail, cand, axis=0)))
+        want = np.take_along_axis(full, np.asarray(cand), axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_unpack_candidate_screen_rows_matches_padded(self):
+        """The funnel's two-table unpack equals the full-row unpack on
+        the (it_k, it_vo) pair."""
+        from pixelrec_multimodal_tpu.ops.attention_cascade import (
+            unpack_candidate_screen_rows,
+        )
+        model = make_model(heads=2, emb=8)
+        variables = init_variables(model)
+        head = build_attention_head(variables, model)
+        assert head['d'] < head['dp']
+        item_feats, _, _ = sides(model, variables, B=4, C=12)
+        item_side = compute_item_side_attention(head, item_feats)
+        packed = pack_attention_tables(head, item_side)
+        rng = np.random.default_rng(3)
+        cand = jnp.asarray(rng.integers(0, 12, (3, 5)).astype(np.int32))
+        k_rows, vo_rows = unpack_candidate_screen_rows(
+            head, jnp.take(packed[2], cand, axis=0),
+            jnp.take(packed[3], cand, axis=0))
+        np.testing.assert_array_equal(
+            np.asarray(k_rows),
+            np.asarray(jnp.take(item_side[2], cand, axis=0)))
+        np.testing.assert_array_equal(
+            np.asarray(vo_rows),
+            np.asarray(jnp.take(item_side[3], cand, axis=0)))
+
 
 class TestCascadeScorer:
     def setup_method(self, _):
@@ -225,7 +276,7 @@ class TestCascadeScorer:
         return CatalogScorer(self.model, self.variables, self.store,
                              item_chunk=128, user_chunk=8, **kw)
 
-    @pytest.mark.parametrize('screen', ['additive', 'token0'])
+    @pytest.mark.parametrize('screen', ['additive', 'token0', 'funnel'])
     def test_full_coverage_cascade_equals_exact(self, screen):
         sc = self.make_scorer()
         users = np.arange(6, dtype=np.int32)
@@ -234,7 +285,8 @@ class TestCascadeScorer:
         seen[2, 5:9] = True
         ve, ie = sc.top_k(users, 5, seen_mask=seen)
         vc, ic = sc.top_k_cascade(users, 5, n_candidates=N_ITEMS,
-                                  seen_mask=seen, screen=screen)
+                                  seen_mask=seen, screen=screen,
+                                  funnel_c1=N_ITEMS)
         np.testing.assert_array_equal(ic, ie)
         np.testing.assert_allclose(vc, ve, rtol=2e-4, atol=2e-5)
 
@@ -247,6 +299,39 @@ class TestCascadeScorer:
         vals = [rec[c] for c in sorted(rec)]
         assert vals == sorted(vals)
         assert rec[min(N_ITEMS, sc.n_items)] == 1.0
+
+    def test_calibrate_funnel_bounds_and_monotone(self):
+        """Funnel recall: 1.0 at full coverage, bounded above by the
+        additive tier's recall@C1, monotone in both C1 and C2."""
+        sc = self.make_scorer()
+        users = np.arange(6, dtype=np.int32)
+        rec_f = sc.calibrate_funnel(users, 5, c1_grid=(8, 16, N_ITEMS),
+                                    c2_grid=(4, 8, N_ITEMS))
+        rec_a = sc.calibrate_cascade(users, 5,
+                                     candidate_grid=(8, 16, N_ITEMS),
+                                     screen='additive')
+        assert rec_f[(N_ITEMS, N_ITEMS)] == 1.0
+        for (c1, c2), r in rec_f.items():
+            assert r <= rec_a[c1] + 1e-9, (c1, c2)
+        for c2 in (4, 8):
+            vals = [rec_f[(c1, c2)] for c1 in (8, 16, N_ITEMS)]
+            assert vals == sorted(vals)
+        for c1 in (16, N_ITEMS):
+            vals = [rec_f[(c1, c2)] for c2 in (4, 8) if c2 <= c1]
+            assert vals == sorted(vals)
+
+    def test_funnel_respects_seen_mask(self):
+        """Seen items never surface through the funnel's stage-2
+        rescore, even when C1 covers the whole catalog (the sv1-mask
+        hardening)."""
+        sc = self.make_scorer()
+        users = np.arange(4, dtype=np.int32)
+        seen = np.zeros((4, N_ITEMS), bool)
+        seen[:, ::2] = True
+        _, ic = sc.top_k_cascade(users, 5, n_candidates=N_ITEMS,
+                                 seen_mask=seen, screen='funnel',
+                                 funnel_c1=N_ITEMS)
+        assert not np.any((ic >= 0) & (ic % 2 == 0))
 
     def test_cascade_rejects_unknown_screen(self):
         sc = self.make_scorer()
@@ -282,11 +367,11 @@ class TestCascadeScorer:
         plain = self.make_scorer(attention_variant='gram')
         assert not plain._attn_packed
         users = np.arange(5, dtype=np.int32)
-        for screen in ('additive', 'token0'):
+        for screen in ('additive', 'token0', 'funnel'):
             vp, ip = packed.top_k_cascade(users, 4, n_candidates=16,
-                                          screen=screen)
+                                          screen=screen, funnel_c1=18)
             vn, iq = plain.top_k_cascade(users, 4, n_candidates=16,
-                                         screen=screen)
+                                         screen=screen, funnel_c1=18)
             np.testing.assert_array_equal(ip, iq)
             np.testing.assert_allclose(vp, vn, rtol=1e-4, atol=1e-5)
 
@@ -404,10 +489,10 @@ class TestCascadeMesh:
         meshed = CatalogScorer(model, variables, store, item_chunk=32,
                                user_chunk=8, mesh=mesh)
         users = np.arange(6, dtype=np.int32)
-        for screen in ('additive', 'token0'):
+        for screen in ('additive', 'token0', 'funnel'):
             vs, is_ = single.top_k_cascade(users, 4, n_candidates=16,
-                                           screen=screen)
+                                           screen=screen, funnel_c1=18)
             vm, im = meshed.top_k_cascade(users, 4, n_candidates=16,
-                                          screen=screen)
+                                          screen=screen, funnel_c1=18)
             np.testing.assert_array_equal(im, is_)
             np.testing.assert_allclose(vm, vs, rtol=1e-4, atol=1e-5)
